@@ -1,0 +1,133 @@
+package pipeline.stages
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import pipeline.model.{Schemas, Sinks}
+
+/**
+ * The four pipeline stages, each a pure `DataFrame => DataFrame`.
+ *
+ * All four are narrow (no shuffle) except Aggregate; Catalyst fuses
+ * Parse∘Enrich∘Route into one whole-stage-codegen span, so one row flows
+ * scan → parse → enrich-probe → route-explode without materialization —
+ * the columnar analog of the reference's per-event path (SURVEY.md §3.3).
+ *
+ * Every expression is a built-in `functions._` Column (codegen'd); no UDFs
+ * in the hot path. Semantics are pinned by pipeline.ref.RefNormalizer.
+ */
+object Parse {
+
+  val MaxLineLenKB = 200
+
+  /**
+   * T1/T2: truncation guard + grok-style extraction + nginx JSON parse
+   * (reference `examples/journald_to_s3batch_config.json:5`,
+   * `examples/nginx_json.conf:50-79`).
+   *
+   * Input: webtext shape (url, warc_ts, html?, text, lang).
+   * Adds: host, title, status, bytes, method, nginx struct, norm struct
+   * (coalesced numerics), extracted_text, is_corrupt, day.
+   * Never touches `html` — column pruning keeps the binary out of the scan.
+   */
+  def apply(df: DataFrame, maxLineLenKB: Int = MaxLineLenKB): DataFrame = {
+    val maxChars = maxLineLenKB * 1024
+    val lines = split(substring(col("text"), 1, maxChars), "\n")
+    val kv = coalesce(get(lines, lit(1)), lit(""))
+    val jsonLineRaw = get(lines, lit(3))
+    val jsonLine = when(jsonLineRaw.startsWith("{"), jsonLineRaw)
+    df.withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("_lines", lines)
+      .withColumn("title",
+        regexp_extract(coalesce(get(col("_lines"), lit(0)), lit("")), "^title: (.*)$", 1))
+      .withColumn("status",
+        coalesce(nullif(regexp_extract(kv, "status=([0-9]+)", 1), lit("")).cast("int"), lit(0)))
+      .withColumn("bytes",
+        coalesce(nullif(regexp_extract(kv, "bytes=([0-9]+)", 1), lit("")).cast("long"), lit(0L)))
+      .withColumn("method", regexp_extract(kv, "method=([A-Z]+)", 1))
+      .withColumn("_json_line", jsonLine)
+      // PERMISSIVE + corrupt-record column: a malformed line yields a struct
+      // with `_corrupt` set (it may still carry fields parsed before the
+      // error — so `ts IS NULL` alone cannot detect corruption)
+      .withColumn("nginx_raw", from_json(col("_json_line"), Schemas.nginxWithCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+      .withColumn("is_corrupt",
+        col("_json_line").isNotNull &&
+          (col("nginx_raw").isNull || col("nginx_raw._corrupt").isNotNull ||
+            col("nginx_raw.ts").isNull))
+      .withColumn("nginx",
+        when(!col("is_corrupt"), col("nginx_raw").dropFields("_corrupt")))
+      // empty-string→0 numeric coalescing (`nginx_json.conf:15-48`)
+      .withColumn("norm", when(col("nginx").isNotNull, struct(
+        to_timestamp(col("nginx.ts")).as("ts"),
+        col("nginx.request.method").as("req_method"),
+        col("nginx.request.uri").as("uri"),
+        col("nginx.response.status").as("resp_status"),
+        coalesce(nullif(col("nginx.response.body_bytes_sent"), lit("")), lit("0"))
+          .cast("long").as("body_bytes_sent"),
+        coalesce(nullif(col("nginx.upstream.response_length"), lit("")), lit("0"))
+          .cast("long").as("response_length"),
+        col("nginx.upstream.bytes_sent").as("up_bytes_sent"))))
+      .withColumn("extracted_text",
+        concat(col("title"), lit("\n"), coalesce(get(col("_lines"), lit(2)), lit(""))))
+      .withColumn("day", to_date(col("warc_ts")))
+      .drop("_lines", "_json_line", "nginx_raw")
+  }
+}
+
+object Enrich {
+
+  /**
+   * T4: broadcast-join enrichment against small dims (the reference's
+   * lookup/metadata-attach pattern; SURVEY.md §2.3 T4). Left joins so no
+   * row is ever lost; `broadcast()` guarantees no shuffle on the fact side.
+   */
+  def apply(df: DataFrame, langMeta: DataFrame, geo: DataFrame): DataFrame =
+    df.join(broadcast(langMeta), Seq("lang"), "left")
+      .join(broadcast(geo), df("host") === geo("domain"), "left")
+      .drop("domain")
+}
+
+/** One routing rule: a Column predicate → sink tag. */
+final case class RouteRule(predicate: Column, sink: String)
+
+object Route {
+
+  /** Default rules = FIXTURES.md §3, in stable Sinks order. */
+  def defaultRules: Seq[RouteRule] = Seq(
+    RouteRule(col("status") >= 500, Sinks.Printer),
+    RouteRule(col("lang") === "en" || col("status") >= 500, Sinks.RunReveal),
+    RouteRule(lit(true), Sinks.S3))
+
+  /**
+   * D6/D7: routing-tag fan-out. Each row gets an array of sink tags built
+   * with `when/otherwise` (corrupt rows divert to deadletter exclusively),
+   * then ONE `explode` multiplies the row per destination — one scan, one
+   * downstream write, vs M re-scans (SURVEY.md §4.1 "fan-out without
+   * recompute"). Adds `sink`; row multiplicity = Σ |sinks(row)|.
+   */
+  def apply(df: DataFrame, rules: Seq[RouteRule] = defaultRules): DataFrame = {
+    val tagged = array_compact(array(
+      rules.map(r => when(r.predicate, lit(r.sink))): _*))
+    val sinks = when(col("is_corrupt"), array(lit(Sinks.DeadLetter)))
+      .otherwise(tagged)
+    df.withColumn("sink", explode(sinks))
+  }
+}
+
+object Aggregate {
+
+  /** A2: per-sink delivery accounting — must equal routed-row counts
+    * exactly (BASELINE.json north_rule). Partial (map-side) aggregation
+    * is automatic for hash aggregates. */
+  def sinkCounts(routed: DataFrame): DataFrame =
+    routed.groupBy("sink").agg(count(lit(1)).as("n_rows"))
+
+  /** Per-source×sink×day rollup for the metrics surface (SURVEY.md §2.4 A2). */
+  def accounting(routed: DataFrame): DataFrame =
+    routed.groupBy("sink", "day")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("is_corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+        approx_count_distinct(col("host")).as("approx_hosts"))
+}

@@ -1,0 +1,120 @@
+package pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import pipeline.fixtures.Webtext
+import pipeline.model.WebDoc
+import pipeline.ref.RefNormalizer
+import pipeline.stages.{Aggregate, Parse, Route}
+
+/** The binding correctness gates (BASELINE.json north_rule):
+  * per-url byte-identical extracted text vs the RefNormalizer spec, and
+  * per-sink aggregate counts == routed-row counts, plus ledger resume. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, 4, "pipeline-spec")
+  private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
+
+  val N = 5000L
+
+  test("extracted text is byte-identical per url vs RefNormalizer") {
+    val s = sc
+    import s.implicits._
+    val parsed = Parse(Webtext.df(s, N, 8))
+      .select("url", "extracted_text", "title", "status", "bytes", "method", "is_corrupt")
+      .as[(String, String, String, Int, Long, String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(parsed.size == N)
+    var corrupt = 0
+    (0L until N).foreach { i =>
+      val doc = Webtext.row(i)
+      val ref = RefNormalizer.parse(doc)
+      val got = parsed(doc.url)
+      // byte equality, not string equality
+      assert(java.util.Arrays.equals(
+        got._2.getBytes("UTF-8"), ref.extracted_text.getBytes("UTF-8")),
+        s"extracted_text mismatch for ${doc.url}:\n got=${got._2}\n ref=${ref.extracted_text}")
+      assert(got._3 == ref.title && got._4 == ref.status && got._5 == ref.bytes
+        && got._6 == ref.method && got._7 == ref.is_corrupt,
+        s"field mismatch for ${doc.url}: got=$got ref=$ref")
+      if (ref.is_corrupt) corrupt += 1
+    }
+    assert(corrupt > 0, "fixture must exercise the corrupt/deadletter branch")
+  }
+
+  test("per-sink aggregate counts equal RefNormalizer routed counts exactly") {
+    val s = sc
+    val routed = Pipeline.transform(Webtext.df(s, N, 8))
+    val got = Aggregate.sinkCounts(routed)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = RefNormalizer.routedCounts((0L until N).iterator.map(Webtext.row))
+    assert(got == ref, s"got=$got ref=$ref")
+    assert(got.keySet.contains("deadletter"))
+    // every row lands in >=1 sink, fan-out only adds
+    assert(got.values.sum >= N)
+  }
+
+  test("truncation: oversize events are capped, parse still agrees with ref") {
+    val s = sc
+    import s.implicits._
+    val big = "title: big doc\nstatus=200 bytes=1 method=GET\n" + ("x" * 300000)
+    val docs = Seq(
+      WebDoc("https://x.example.com/1", new java.sql.Timestamp(0L), null, big, "en"),
+      WebDoc("https://x.example.com/2", new java.sql.Timestamp(0L), null, "no structure at all", "de"))
+    val got = Parse(docs.toDF())
+      .select("url", "extracted_text").as[(String, String)].collect().toMap
+    docs.foreach { d =>
+      val ref = RefNormalizer.parse(d)
+      assert(got(d.url) == ref.extracted_text)
+      assert(ref.extracted_text.length <= RefNormalizer.MaxChars + 1)
+    }
+  }
+
+  test("salted repartition never changes row multiplicity") {
+    val s = sc
+    val routed = Pipeline.transform(Webtext.df(s, 2000, 4))
+    val before = routed.count()
+    val after = routed
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(Pipeline.Salts)))
+      .repartition(col("sink"), col("day"), col("salt"))
+      .count()
+    assert(before == after)
+  }
+
+  test("incremental run resumes from ledger after a kill, equals clean run") {
+    val s = sc
+    val docs = Webtext.df(s, 3000, 4) // spans >=3 days (1 row/min)
+    val cleanDir = Files.createTempDirectory("graft-clean").toString
+    val crashDir = Files.createTempDirectory("graft-crash").toString
+    val clean = Pipeline.runIncremental(s, docs, cleanDir)
+    assert(clean.size >= 2, s"need multiple day units, got $clean")
+    // crash after the first unit...
+    intercept[RuntimeException] {
+      Pipeline.runIncremental(s, docs, crashDir, failAfterUnits = 1)
+    }
+    val partial = new pipeline.io.Ledger(crashDir).committedUnits()
+    assert(partial.size == 1)
+    // ...resume: must complete the rest and match the clean run exactly
+    val resumed = Pipeline.runIncremental(s, docs, crashDir)
+    assert(resumed == clean)
+    val a = s.read.parquet(s"$cleanDir/routed_days").groupBy("sink").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = s.read.parquet(s"$crashDir/routed_days").groupBy("sink").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("fused run: written files match ref counts; ledger records them") {
+    val s = sc
+    val out = Files.createTempDirectory("graft-fused").toString
+    val counts = Pipeline.runFused(s, Webtext.df(s, 2000, 4), out)
+    val ref = RefNormalizer.routedCounts((0L until 2000L).iterator.map(Webtext.row))
+    assert(counts == ref)
+    val ledger = new pipeline.io.Ledger(out).committedRows()
+    assert(ledger.values.sum == ref.values.sum)
+  }
+}
