@@ -1,0 +1,264 @@
+package graft
+
+/**
+ * DuckDB oracle SQL — one entry per [[Queries]] member, semantically and
+ * bit-identically equivalent (see Queries scaladoc for the determinism
+ * rules; portable hash = `CAST('0x'||substr(md5(s),1,8) AS BIGINT)`,
+ * mirroring pipeline.ops.Portable.hash32).
+ */
+object Oracle {
+
+  /** Shared SQL fragments. */
+  private val H32 = "CAST('0x'||substr(md5(%s),1,8) AS BIGINT)"
+  private def h32(e: String) = H32.format(e)
+
+  private val shinglesSql =
+    """CASE WHEN len(w) >= 3
+      | THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+      | ELSE [] END""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        | count(*) AS count_order,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q_parse_extract" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+        | regexp_matches(text, 'spark') AS mentions_spark,
+        | len(regexp_extract_all(text, 'join')) AS n_join
+        |FROM documents""".stripMargin,
+
+    "q_parse_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
+
+    "q_normalize_coalesce" ->
+      """SELECT event_id,
+        | CAST(coalesce(nullif(CASE WHEN user_id % 7 = 0 THEN ''
+        |   ELSE CAST(user_id AS VARCHAR) END, ''), '0') AS BIGINT) AS norm_user
+        |FROM events""".stripMargin,
+
+    "q_truncate_guard" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(substr(text, 1, 100))) AS BIGINT) AS trunc_bytes,
+        | n_chars > 450 AS is_oversize
+        |FROM documents""".stripMargin,
+
+    "q_enrich_broadcast" ->
+      """SELECT coalesce(d.lang_family, 'unknown') AS lang_family,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |LEFT JOIN (VALUES ('en','germanic'),('de','germanic'),('fr','romance'),
+        |                  ('es','romance'),('zh','sinitic')) AS d(lang, lang_family)
+        |  USING (lang)
+        |GROUP BY 1""".stripMargin,
+
+    "q_route_explode" ->
+      """SELECT doc_id,
+        | unnest(CASE WHEN n_chars > 450 THEN ['deadletter']
+        |   ELSE list_filter([
+        |     CASE WHEN source = 'src0' THEN 'printer' END,
+        |     CASE WHEN lang = 'en' OR source = 'src0' THEN 'runreveal' END,
+        |     's3'], x -> x IS NOT NULL) END) AS sink
+        |FROM documents""".stripMargin,
+
+    "q_sink_counts" ->
+      """SELECT sink, count(*) AS n_rows FROM (
+        |  SELECT unnest(CASE WHEN n_chars > 450 THEN ['deadletter']
+        |    ELSE list_filter([
+        |      CASE WHEN source = 'src0' THEN 'printer' END,
+        |      CASE WHEN lang = 'en' OR source = 'src0' THEN 'runreveal' END,
+        |      's3'], x -> x IS NOT NULL) END) AS sink
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    "q_fanin_union" ->
+      """SELECT source, count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM (
+        |  SELECT 'ui' AS source, user_id FROM events WHERE event_type IN ('click','view')
+        |  UNION ALL
+        |  SELECT 'backend' AS source, user_id FROM events
+        |  WHERE event_type IN ('purchase','signup','error'))
+        |GROUP BY 1""".stripMargin,
+
+    "q_deadletter" ->
+      "SELECT doc_id, n_chars FROM documents WHERE n_chars > 450",
+
+    "q_window_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_topk_users" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY 1 ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT event_type, event_id, value, rn FROM (
+        | SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        | FROM events)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT source, lang, count(*) AS n_docs
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |   AS DECIMAL(18,4)) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(0, 8), j ->
+        |    list_min(list_transform($shinglesSql,
+        |      s -> ((2*j+1) * ${h32("s")} + j*7919 + 1) % 2147483647))) AS sig
+        |  FROM words
+        |), ok AS (
+        |  SELECT doc_id, sig FROM sigs
+        |  WHERE len(sig) > 0
+        |    AND NOT list_contains(list_transform(sig, x -> x IS NULL), true)
+        |), banded AS (
+        |  SELECT doc_id, 0 AS band, md5(array_to_string(sig[1:4], ',')) AS bkey FROM ok
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, md5(array_to_string(sig[5:8], ',')) AS bkey FROM ok
+        |)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |FROM banded l JOIN banded r
+        |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH hs AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |    t -> ${h32("t")}) AS h
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+        |    CASE WHEN CAST(list_sum(list_transform(h, x -> ((x >> i) & 1)*2 - 1)) AS BIGINT) > 0
+        |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM hs)
+        |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_id
+        |FROM sh GROUP BY 1""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest($shinglesSql) AS sh FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        |    FROM documents WHERE doc_id < 1500)
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b,
+        |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (a,b) -> a+b)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (a,b) -> a+b))) AS cos
+        |  FROM q JOIN c ON qid <> cid),
+        |ranked AS (SELECT qid, cid, cos,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS rnk
+        | FROM scored)
+        |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH b AS (
+        |  SELECT vec_id,
+        |   CAST(list_sum(list_transform(range(0, 6), p ->
+        |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |       i -> CAST(embedding[i] AS DOUBLE) *
+        |            CAST((${h32("p||':'||(i-1)")} % 2)*2 - 1 AS DOUBLE))), (a,b) -> a+b) > 0
+        |          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings)
+        |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec FROM b GROUP BY 1""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scores AS (
+        |  SELECT doc_id,
+        |   CAST(list_sum(list_transform(w, t -> CASE WHEN t IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS BIGINT) AS s_en,
+        |   CAST(list_sum(list_transform(w, t -> CASE WHEN t IN ('über','der','und','nicht') THEN 1 ELSE 0 END)) AS BIGINT) AS s_de,
+        |   CAST(list_sum(list_transform(w, t -> CASE WHEN t IN ('東京','の','は') THEN 1 ELSE 0 END)) AS BIGINT) AS s_ja
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+        |SELECT doc_id,
+        | CASE WHEN s_en = greatest(s_en, s_de, s_ja) AND greatest(s_en, s_de, s_ja) > 0 THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_ja) AND greatest(s_en, s_de, s_ja) > 0 THEN 'de'
+        |      WHEN s_ja = greatest(s_en, s_de, s_ja) AND greatest(s_en, s_de, s_ja) > 0 THEN 'ja'
+        |      ELSE 'und' END AS lang_pred
+        |FROM scores""".stripMargin,
+
+    "q_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |   CAST(length(regexp_replace(text, '[A-Za-z0-9\s\x{0080}-\x{FFFF}]', '', 'g')) AS BIGINT) AS n_punct,
+        |   CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |     t -> CASE WHEN t IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS BIGINT) AS n_stopwords,
+        |   CAST(length(text) AS BIGINT) AS n_chars2
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_punct, n_stopwords,
+        | CASE WHEN n_chars2 > 0 THEN CAST(n_punct AS DOUBLE)/CAST(n_chars2 AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+        | CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+        |FROM f""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> ${h32("t")})),
+        |   (a, b) -> (a*31 + b) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS digest
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import pipeline.ops.{Dedup, Portable, Similarity, TextAnalysis}
+
+/**
+ * Driver-contract queries: one per implemented operator (SURVEY.md §2 +
+ * the training-data ops), each with an equivalent DuckDB oracle SQL in
+ * [[Oracle]]. Column names/aliases MUST match the oracle exactly (the
+ * driver sorts columns by name before hashing).
+ *
+ * Determinism rules (shared with pipeline.ops.Portable): integer/decimal
+ * aggregates only (double sums are order-dependent); doubles appear only
+ * as bit-deterministic expressions (int/int division, sequential folds,
+ * float→double widening); hashes via portable md5 arithmetic.
+ */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- core relational / pipeline operators ----------
+
+  /** Flagship TPC-H-Q1-style aggregate (scan + hash agg, decimal-exact). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+        count(lit(1)).as("count_order"),
+        (sum(col("l_quantity").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+
+  /** T1: grok/regex field extraction. */
+  def qParseExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+      col("text").rlike("spark").as("mentions_spark"),
+      size(regexp_extract_all(col("text"), lit("join"), lit(0))).cast("long").as("n_join"))
+
+  /** T1: JSON payload parse (events.props). */
+  def qParseJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+
+  /** Default-value coalescing (nginx empty→0 rule) exercised end-to-end. */
+  def qNormalizeCoalesce(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("code",
+        when(pmod(col("user_id"), lit(7)) === 0, lit(""))
+          .otherwise(col("user_id").cast("string")))
+      .select(
+        col("event_id"),
+        coalesce(nullif(col("code"), lit("")), lit("0")).cast("long").as("norm_user"))
+
+  /** T2: truncation guard + oversize detection. */
+  def qTruncateGuard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      octet_length(substring(col("text"), 1, 100)).cast("long").as("trunc_bytes"),
+      (col("n_chars") > 450).as("is_oversize"))
+
+  /** T4: broadcast-join enrichment against a small dim. */
+  def qEnrichBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(
+      ("en", "germanic"), ("de", "germanic"), ("fr", "romance"),
+      ("es", "romance"), ("zh", "sinitic")).toDF("lang", "lang_family")
+    t(s, dir, "documents")
+      .join(broadcast(dim), Seq("lang"), "left")
+      .groupBy(coalesce(col("lang_family"), lit("unknown")).as("lang_family"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** Routing rules over documents (mirrors the pipeline's Route stage). */
+  private def docSinks = {
+    val oversize = col("n_chars") > 450
+    when(oversize, array(lit("deadletter"))).otherwise(array_compact(array(
+      when(col("source") === "src0", lit("printer")),
+      when(col("lang") === "en" || col("source") === "src0", lit("runreveal")),
+      lit("s3"))))
+  }
+
+  /** D6: routing-tag explode fan-out — row level. */
+  def qRouteExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(docSinks).as("sink"))
+
+  /** A2: per-sink delivery accounting (must equal routed rows exactly). */
+  def qSinkCounts(s: SparkSession, dir: String): DataFrame =
+    qRouteExplode(s, dir).groupBy("sink").agg(count(lit(1)).as("n_rows"))
+
+  /** S7: fan-in union of two tagged sources + per-source accounting. */
+  def qFaninUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.filter(col("event_type").isin("click", "view"))
+      .withColumn("source", lit("ui"))
+    val b = e.filter(col("event_type").isin("purchase", "signup", "error"))
+      .withColumn("source", lit("backend"))
+    a.unionByName(b).groupBy("source")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** D7: deadletter diversion (oversize events preserved, not dropped). */
+  def qDeadletter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("n_chars") > 450)
+      .select(col("doc_id"), col("n_chars"))
+
+  /** A1-analog: event-time tumbling window aggregation. */
+  def qWindowHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+
+  /** Top-k with deterministic tie-break. */
+  def qTopkUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id").asc).limit(10)
+
+  /** Exact distinct aggregation. */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** Semi join (resume pattern: rows WITH a match). */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+
+  /** Anti join (ledger resume: rows NOT yet committed). */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+
+  /** Window ranking: top-3 events by value per type, deterministic ties. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("event_type", "event_id", "value", "rn")
+  }
+
+  /** Grouping-sets rollup of the accounting surface. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Join + aggregate (shuffle join; decimal-exact revenue). */
+  def qJoinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(18,4)").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  // ---------- training-data ops ----------
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      nGram = 3, bands = 2, rowsPerBand = 4)
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBuckets(t(s, dir, "documents"), "doc_id", "text", bits = 16)
+
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(
+      t(s, dir, "documents").filter(col("doc_id") < 1500), "doc_id", "text",
+      nGram = 3, threshold = 0.5)
+
+  def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+      .select(col("qid"), col("cid"), col("cos"), col("rank").cast("long").as("rnk"))
+  }
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.hyperplaneSig("embedding", planes = 6, dim = 64).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  def qQuality(s: SparkSession, dir: String): DataFrame = {
+    val f = TextAnalysis.qualityFeatures(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      f.getField("n_tokens").as("n_tokens"),
+      f.getField("n_punct").as("n_punct"),
+      f.getField("n_stopwords").as("n_stopwords"),
+      f.getField("punct_ratio").as("punct_ratio"),
+      f.getField("stopword_ratio").as("stopword_ratio"))
+  }
+
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  /** Multimodal plumbing: opaque binary payload + portable features. */
+  def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"))
+}

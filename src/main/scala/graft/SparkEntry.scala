@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry pairs a Spark query (graft.Queries) with DuckDB oracle SQL
+  * (graft.Oracle); names and column aliases match exactly. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The pipeline's A2 accounting surface: route fan-out → per-sink counts. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Queries.qSinkCounts(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 + training-data ops. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Queries.q1Agg _),
+    "q_parse_extract" -> (Queries.qParseExtract _),
+    "q_parse_json" -> (Queries.qParseJson _),
+    "q_normalize_coalesce" -> (Queries.qNormalizeCoalesce _),
+    "q_truncate_guard" -> (Queries.qTruncateGuard _),
+    "q_enrich_broadcast" -> (Queries.qEnrichBroadcast _),
+    "q_route_explode" -> (Queries.qRouteExplode _),
+    "q_sink_counts" -> (Queries.qSinkCounts _),
+    "q_fanin_union" -> (Queries.qFaninUnion _),
+    "q_deadletter" -> (Queries.qDeadletter _),
+    "q_window_hourly" -> (Queries.qWindowHourly _),
+    "q_topk_users" -> (Queries.qTopkUsers _),
+    "q_distinct" -> (Queries.qDistinct _),
+    "q_semi_join" -> (Queries.qSemiJoin _),
+    "q_anti_join" -> (Queries.qAntiJoin _),
+    "q_window_rank" -> (Queries.qWindowRank _),
+    "q_rollup" -> (Queries.qRollup _),
+    "q_join_agg" -> (Queries.qJoinAgg _),
+    "q_dedup_exact" -> (Queries.qDedupExact _),
+    "q_dedup_minhash" -> (Queries.qDedupMinhash _),
+    "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_dedup_ngram" -> (Queries.qDedupNgram _),
+    "q_ann_cosine" -> (Queries.qAnnCosine _),
+    "q_ann_lsh" -> (Queries.qAnnLsh _),
+    "q_lang_id" -> (Queries.qLangId _),
+    "q_quality" -> (Queries.qQuality _),
+    "q_token_count" -> (Queries.qTokenCount _),
+    "q_fingerprint" -> (Queries.qFingerprint _),
+    "q_multimodal" -> (Queries.qMultimodal _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracle.sql
 }

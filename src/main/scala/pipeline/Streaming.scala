@@ -1,0 +1,77 @@
+package pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import pipeline.model.Schemas
+import pipeline.stages.Aggregate
+
+/**
+ * Structured-Streaming variant of the pipeline (SURVEY.md §3.2): the
+ * reference's supervised-service mode. The batch stages are reused
+ * verbatim inside `foreachBatch` — stages are pure DataFrame functions,
+ * so batch and streaming cannot drift.
+ *
+ * Restart semantics: `checkpointLocation` stores source offsets + batch
+ * ids; rerunning `start` after a kill resumes exactly where the stream
+ * stopped (the Spark-native form of the reference's `Restart=always`
+ * + at-least-once redelivery, `examples/reveald.service:10`). foreachBatch
+ * writes are idempotent per (batchId, sink, day) path, so redelivered
+ * batches overwrite rather than duplicate.
+ */
+object Streaming {
+
+  /** File-source stream over a landing directory of webtext parquet. */
+  def readWebtext(spark: SparkSession, landingDir: String,
+                  maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(Schemas.webtext)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+
+  /**
+   * Start the routed-write stream. Each micro-batch runs the same
+   * parse→enrich→route chain and lands partitioned files under
+   * `outDir/routed_stream`; per-batch counts append to the ledger
+   * (unit = "batch-<id>") — the streaming analog of the count/time
+   * batcher flush (`examples/journald_to_s3batch_config.json:11-12`).
+   */
+  def start(spark: SparkSession, landingDir: String, outDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ledger = new io.Ledger(outDir)
+    readWebtext(spark, landingDir).writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val routed = Pipeline.transform(batch)
+          .select(col("url"), col("warc_ts"), col("lang"), col("host"),
+            col("title"), col("status"), col("extracted_text"),
+            col("is_corrupt"), col("sink"), col("day"))
+        routed.persist()
+        try {
+          routed.write.mode("overwrite")
+            .partitionBy("sink")
+            .parquet(s"$outDir/routed_stream/batch=$batchId")
+          val counts = Aggregate.sinkCounts(routed).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          ledger.commit(s"batch-$batchId", counts.values.sum, counts)
+        } finally routed.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /**
+   * Event-time windowed per-sink counts with a watermark (SURVEY.md §2.5):
+   * tumbling 1-hour windows on warc_ts; late rows beyond 1 hour are
+   * dropped by the watermark and surface in the `late` metric of the
+   * batch accounting instead of silently vanishing.
+   */
+  def windowedCounts(webtextStream: DataFrame): DataFrame =
+    Pipeline.transform(webtextStream)
+      .withWatermark("warc_ts", "1 hour")
+      .groupBy(window(col("warc_ts"), "1 hour"), col("sink"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("window_start"), col("sink"), col("n_rows"))
+}

@@ -1,0 +1,110 @@
+package pipeline.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Portable._
+
+/**
+ * Deduplication operators for large-scale text corpora.
+ *
+ * Scale design notes (the part that matters at 10^12 rows):
+ *  - exact dedup is one hash-shuffle on a 32-byte digest, never on the text;
+ *  - MinHash signatures are computed PER ROW with higher-order functions
+ *    (one md5 per shingle, H permutations by arithmetic) — no explode, no
+ *    per-shingle shuffle; the only exchange is the band-bucket self-join,
+ *    whose keys are ~uniform by construction (hash values), so no skew;
+ *  - candidate verification (exact Jaccard) runs only on LSH candidates,
+ *    via the standard shingle-equijoin formulation — never a cross join.
+ */
+object Dedup {
+
+  /** Exact dedup: groups by md5(text). Returns one row per distinct text:
+    * (keep = min id, n_dups). Shuffles 8-byte ids + 32-byte digests only. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("digest"))
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature as an array column — computed narrowly per row.
+    * sig[j] = min over shingles s of ((2j+1)·h32(s) + 7919j+1) mod P. */
+  def minhashSig(textCol: String, nGram: Int, numHashes: Int) = {
+    val shs = shingles(tokens(col(textCol)), nGram)
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shs, s => permuted(hash32(s), j))))
+  }
+
+  /**
+   * MinHash + LSH near-duplicate candidate pairs.
+   * Bands the signature into `bands` groups of `rowsPerBand`, buckets each
+   * band by md5 of its slice, and self-joins buckets.
+   * Output: (a, b) candidate id pairs, a < b, distinct.
+   */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 nGram: Int = 3, bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minhashSig(textCol, nGram, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), _.isNull), true))
+    // one row per (id, band): bucket key = md5 of the band's slice
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+          .cast("binary")))).as(Seq("band", "bkey")))
+    val l = banded.select(col("band"), col("bkey"), col("id").as("a"))
+    val r = banded.select(col("band"), col("bkey"), col("id").as("b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** SimHash over word tokens with `bits` bits (≤32).
+    * bit_i(doc) = sign of Σ_tokens (2·((h32(t)>>i)&1) − 1).
+    * Computed per row via higher-order functions — fully narrow. */
+  def simhash(textCol: String, bits: Int = 16) = {
+    val hs = transform(tokens(col(textCol)), t => hash32(t))
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, i) => {
+        val bitSum = aggregate(hs, lit(0L),
+          (s, h) => s + call_function("shiftright", h, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+      })
+  }
+
+  /** SimHash near-dup buckets: docs sharing the full simhash value.
+    * (With 16 bits over skewed text this groups aggressively — callers
+    * verify with exact Jaccard.) */
+  def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"), simhash(textCol, bits).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"))
+
+  /**
+   * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
+   * thresholded. The relational formulation: |A∩B| from a shingle
+   * equijoin, |A∪B| = |A|+|B|−|A∩B|. Intended for LSH candidates or
+   * bounded subsets; keys are shingles (high cardinality → no skew).
+   */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   nGram: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(tokens(col(textCol)), nGram)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("id").as("a"), col("sh"))
+      .join(sh.select(col("id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}
