@@ -196,7 +196,7 @@ object Queries {
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"),
-        Similarity.hyperplaneSig("embedding", planes = 6, dim = 64).as("bucket"))
+        pipeline.expr.PortableExprs.hyperplaneSig(col("embedding"), 6, 64).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
 
@@ -223,7 +223,7 @@ object Queries {
 
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
-      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      col("doc_id"), pipeline.expr.PortableExprs.fingerprint(col("text")).as("fp"))
 
   /** Multimodal plumbing: opaque binary payload + portable features. */
   def qMultimodal(s: SparkSession, dir: String): DataFrame =

@@ -44,9 +44,11 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  nGram: Int = 3, bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // fast native expression (pipeline.expr); returns null when no shingles —
+    // same surviving set as the HOF all-null-signature filter (parity-tested)
     val sig = df.select(col(idCol).as("id"),
-      minhashSig(textCol, nGram, numHashes).as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), _.isNull), true))
+      pipeline.expr.PortableExprs.minhashSig(col(textCol), nGram, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     // one row per (id, band): bucket key = md5 of the band's slice
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -79,7 +81,8 @@ object Dedup {
     * verify with exact Jaccard.) */
   def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
                      bits: Int = 16): DataFrame =
-    df.select(col(idCol).as("id"), simhash(textCol, bits).as("simhash"))
+    df.select(col(idCol).as("id"),
+      pipeline.expr.PortableExprs.simhash(col(textCol), bits).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"))
 
@@ -92,7 +95,7 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    nGram: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      explode(shingles(tokens(col(textCol)), nGram)).as("sh"))
+      explode(pipeline.expr.PortableExprs.shingles(col(textCol), nGram)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("id").as("a"), col("sh"))
       .join(sh.select(col("id").as("b"), col("sh")), Seq("sh"))

@@ -56,7 +56,7 @@ object Similarity {
   /** LSH-bucketed ANN: exact cosine top-k within the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
-    val sig = hyperplaneSig(vecCol, planes, dim)
+    val sig = pipeline.expr.PortableExprs.hyperplaneSig(col(vecCol), planes, dim)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), sig.as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), sig.as("bucket")))
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))

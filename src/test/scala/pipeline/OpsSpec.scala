@@ -1,0 +1,168 @@
+package pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import pipeline.expr.PortableExprs
+import pipeline.fixtures.Webtext
+import pipeline.ops.{Dedup, Portable, Similarity, TextAnalysis}
+
+/** Parity + semantics specs for the training-data ops:
+  *  - native Catalyst expressions ≡ the HOF/Column formulations (bit-exact)
+  *  - MinHash-LSH recall against exact Jaccard on the dup-seeded fixture
+  *  - ANN: LSH/IVF candidates score-match brute force where they overlap */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, 4, "ops-spec")
+  private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
+
+  private def docs(n: Long) = {
+    val s = sc
+    Webtext.df(s, n, 4).select(
+      monotonically_increasing_id().as("id"), col("text"), col("url"))
+      .withColumn("id", xxhash64(col("url"))) // stable unique id
+  }
+
+  test("native MinHash signature == HOF formulation, bit for bit") {
+    val d = docs(800).select(col("id"), col("text"))
+    val hof = d.select(col("id"), Dedup.minhashSig("text", 3, 8).as("sig"))
+      .filter(!array_contains(transform(col("sig"), _.isNull), true))
+    val fast = d.select(col("id"), PortableExprs.minhashSig(col("text"), 3, 8).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(hof.exceptAll(fast).isEmpty && fast.exceptAll(hof).isEmpty)
+    assert(fast.count() > 0)
+  }
+
+  test("native SimHash == HOF simhash; native fingerprint == HOF fingerprint") {
+    val d = docs(500).select(col("id"), col("text"))
+    val both = d.select(
+      Dedup.simhash("text", 16).as("a"),
+      PortableExprs.simhash(col("text"), 16).as("b"),
+      TextAnalysis.fingerprint(col("text")).as("fa"),
+      PortableExprs.fingerprint(col("text")).as("fb"))
+    assert(both.filter(col("a") =!= col("b") || col("fa") =!= col("fb")).count() == 0)
+  }
+
+  test("native hyperplane sig == HOF hyperplane sig on synthetic vectors") {
+    val s = sc
+    import s.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 7f))
+    }.toDF("vid", "vec")
+    val both = vecs.select(
+      Similarity.hyperplaneSig("vec", 6, 16).as("a"),
+      PortableExprs.hyperplaneSig(col("vec"), 6, 16).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("exact dedup finds the seeded duplicate fraction") {
+    val d = docs(4000)
+    val dups = Dedup.exact(d, "id", "text").filter(col("n_copies") > 1)
+    val expected = (0L until 4000L).count(i => Webtext.dupOf(i).isDefined)
+    assert(expected > 0)
+    // every seeded dup collapses onto its source text digest
+    assert(dups.agg(sum(col("n_copies") - 1)).head.getLong(0) >= expected * 9 / 10)
+  }
+
+  test("MinHash-LSH recalls exact duplicates (jaccard=1 pairs)") {
+    val d = docs(2000)
+    val pairs = Dedup.minhashLsh(d, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact duplicates (same text) MUST collide in every band
+    val exactDups = Dedup.exact(d, "id", "text").filter(col("n_copies") > 1)
+    val nDup = exactDups.count()
+    assert(nDup > 0)
+    val d2 = d.select(col("id"), md5(col("text").cast("binary")).as("dg"))
+    val expectPairs = d2.as("x").join(d2.as("y"),
+        col("x.dg") === col("y.dg") && col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expectPairs.nonEmpty)
+    assert(expectPairs.subsetOf(pairs),
+      s"missing ${expectPairs.diff(pairs).size} of ${expectPairs.size} exact-dup pairs")
+  }
+
+  test("ngramJaccard scores exact duplicates at 1.0 and respects threshold") {
+    val d = docs(1500)
+    val j = Dedup.ngramJaccard(d, "id", "text", 3, 0.5)
+    assert(j.filter(col("jaccard") > 1.0).count() == 0)
+    val d2 = d.select(col("id"), md5(col("text").cast("binary")).as("dg"))
+    val nExact = d2.as("x").join(d2.as("y"),
+      col("x.dg") === col("y.dg") && col("x.id") < col("y.id")).count()
+    assert(j.filter(col("jaccard") === 1.0).count() >= nExact)
+  }
+
+  test("LSH ANN results are a score-consistent subset of brute force") {
+    val s = sc
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "cid", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 64)
+      .select("qid", "cid", "cos").collect()
+    assert(lsh.nonEmpty)
+    // any (qid,cid) present in both must carry the identical cosine
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(c == r.getDouble(2))
+      }
+    }
+  }
+
+  test("IVF ANN returns k results per query with exact cosines") {
+    val s = sc
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 3)
+    val perQ = ivf.groupBy("qid").count().collect()
+    assert(perQ.length == 5 && perQ.forall(_.getLong(1) == 5))
+    val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "cid", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.select("qid", "cid", "cos").collect().foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
+  test("multimodal decode plumbing: deterministic stub metadata + frames") {
+    val s = sc
+    import s.implicits._
+    import pipeline.ops.Multimodal._
+    val assets = Seq(
+      MediaAsset(1L, "image", Array.tabulate(64)(_.toByte)),
+      MediaAsset(2L, "video", Array.tabulate(256)(i => (i * 7).toByte)),
+      MediaAsset(3L, "audio", Array.tabulate(32)(i => (i * 3).toByte)),
+      MediaAsset(4L, "image", Array.empty[Byte])).toDS()
+    val meta = decodeMeta(assets).collect().sortBy(_.asset_id)
+    assert(meta.length == 4)
+    assert(meta(0).ok && meta(0).width > 0 && meta(0).height > 0)
+    assert(meta(1).ok && meta(1).duration_ms > 0)
+    assert(!meta(3).ok)
+    // determinism: same input → same metadata
+    val meta2 = decodeMeta(assets).collect().sortBy(_.asset_id)
+    assert(meta.toSeq == meta2.toSeq)
+    val frames = sampleFrames(assets, everyMs = 50000L)
+    assert(frames.count() == meta(1).duration_ms / 50000L + 1)
+  }
+
+  test("lang-id, quality, token counts are deterministic and sane") {
+    val s = sc
+    import s.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox and the lazy dog"),
+      (2L, "über und nicht der zug"),
+      (3L, "東京 の は"),
+      (4L, "zzz qqq"),
+      (5L, "")).toDF("id", "text")
+    val out = d.select(col("id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == "en" && out(2L)._1 == "de" && out(3L)._1 == "ja")
+    assert(out(4L)._1 == "und" && out(5L)._2 == 0)
+    assert(out(1L)._3 > out(4L)._3, "stopword-rich text scores higher")
+  }
+}
