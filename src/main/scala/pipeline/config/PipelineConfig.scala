@@ -1,0 +1,150 @@
+package pipeline.config
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.core.json.JsonReadFeature
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/**
+ * Job-config layer mirroring the reference's declared config semantics
+ * (SURVEY.md §1.3, §2.3 T6):
+ *
+ *  - hujson tolerance: comments and trailing commas are legal
+ *    (reference `examples/config.json:2-4` "parsed using hujson so you can
+ *    use comments and trailing commas");
+ *  - `$NAME` string values resolve from the environment at load
+ *    (reference `examples/config.json:32-35`);
+ *  - sources/destinations accept BOTH map-shaped and array-shaped
+ *    declarations (`examples/config.json:5` vs `examples/mqtt_config.json:5`);
+ *  - divergent key spellings for the same concept are accepted
+ *    (`flushFreq`/`flushFrequency`, `bucketName` vs nested `bucket`).
+ *
+ * The config compiles to a [[PipelineSpec]]: named sources (fan-in),
+ * routing rules (fan-out), named sinks with batch/flush bounds.
+ */
+final case class SourceSpec(
+    id: String,
+    kind: String,
+    path: Option[String] = None,
+    maxLineLenKB: Option[Int] = None,
+    query: Option[String] = None)
+
+final case class SinkSpec(
+    id: String,
+    kind: String,
+    pathPrefix: Option[String] = None,
+    batchSize: Option[Int] = None,
+    flushFreq: Option[String] = None,
+    webhookUrl: Option[String] = None)
+
+/** A routing rule: `when` is a tiny predicate DSL over parsed-event fields
+  * (`field op value`, ops: == != >= > <= <; conjunction with &&), compiled
+  * to a Catalyst Column by pipeline.stages.Route. Empty = always. */
+final case class RuleSpec(when: String, sinks: Seq[String])
+
+final case class PipelineSpec(
+    sources: Seq[SourceSpec],
+    sinks: Seq[SinkSpec],
+    rules: Seq[RuleSpec])
+
+object PipelineConfig {
+
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.configure(JsonReadFeature.ALLOW_JAVA_COMMENTS.mappedFeature(), true)
+    m.configure(JsonReadFeature.ALLOW_TRAILING_COMMA.mappedFeature(), true)
+    m
+  }
+
+  /** `"$NAME"` values resolve from the environment (verbatim reference
+    * semantics: whole-value substitution, not interpolation). */
+  def expandEnv(v: String, env: Map[String, String] = sys.env): String =
+    if (v.startsWith("$")) env.getOrElse(v.substring(1), v) else v
+
+  def parse(text: String, env: Map[String, String] = sys.env): PipelineSpec = {
+    val root = mapper.readTree(text)
+
+    def str(n: JsonNode, field: String): Option[String] =
+      Option(n.get(field)).filterNot(_.isNull).map(x => expandEnv(x.asText(), env))
+    def int(n: JsonNode, field: String): Option[Int] =
+      Option(n.get(field)).filterNot(_.isNull).map(_.asInt())
+
+    /** map-shaped {id: {...}} or array-shaped [{...}] with type as id. */
+    def entries(node: JsonNode): Seq[(String, JsonNode)] =
+      if (node == null) Nil
+      else if (node.isArray)
+        node.elements().asScala.zipWithIndex.map { case (n, i) =>
+          str(n, "id").orElse(str(n, "type")).getOrElse(s"src$i") -> n
+        }.toSeq
+      else node.properties().asScala.map(e => e.getKey -> e.getValue).toSeq
+
+    val sources = entries(root.get("sources")).map { case (id, n) =>
+      SourceSpec(id,
+        kind = str(n, "type").getOrElse("file"),
+        path = str(n, "path"),
+        maxLineLenKB = int(n, "maxLineLenKB"),
+        query = str(n, "query"))
+    }
+    val sinks = entries(root.get("destinations")).map { case (id, n) =>
+      SinkSpec(id,
+        kind = str(n, "type").getOrElse(id),
+        pathPrefix = str(n, "pathPrefix").orElse(str(n, "prefix")),
+        batchSize = int(n, "batchSize"),
+        // both spellings, as in the reference
+        flushFreq = str(n, "flushFreq").orElse(str(n, "flushFrequency")),
+        webhookUrl = str(n, "webhookURL"))
+    }
+    val rules = Option(root.get("routing")).map(_.elements().asScala.map { n =>
+      RuleSpec(
+        when = str(n, "when").getOrElse(""),
+        sinks = Option(n.get("sinks")).map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Nil))
+    }.toSeq).getOrElse(Nil)
+
+    PipelineSpec(sources, sinks, rules)
+  }
+
+  def load(path: String, env: Map[String, String] = sys.env): PipelineSpec =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8), env)
+}
+
+/** Compiles RuleSpec predicates to Catalyst Columns. Grammar (tiny, total):
+  *   expr   := clause (' && ' clause)*
+  *   clause := field op literal
+  *   op     := == | != | >= | <= | > | <
+  * Literals: ints, single-quoted strings, true/false. */
+object RuleCompiler {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private val Clause = """\s*(\w+)\s*(==|!=|>=|<=|>|<)\s*(.+?)\s*""".r
+
+  private def literal(s: String): Column = s match {
+    case "true" => lit(true)
+    case "false" => lit(false)
+    case q if q.startsWith("'") && q.endsWith("'") => lit(q.substring(1, q.length - 1))
+    case n => lit(n.toLong)
+  }
+
+  def compile(when: String): Column =
+    if (when.trim.isEmpty) lit(true)
+    else when.split("&&").map {
+      case Clause(f, op, v) =>
+        val (c, l) = (col(f), literal(v))
+        op match {
+          case "==" => c === l
+          case "!=" => c =!= l
+          case ">=" => c >= l
+          case "<=" => c <= l
+          case ">" => c > l
+          case "<" => c < l
+        }
+      case bad => throw new IllegalArgumentException(s"bad clause: '$bad'")
+    }.reduce(_ && _)
+
+  /** PipelineSpec routing → the Route stage's rule list. */
+  def rules(spec: PipelineSpec): Seq[pipeline.stages.RouteRule] =
+    spec.rules.flatMap(r => r.sinks.map(s =>
+      pipeline.stages.RouteRule(compile(r.when), s)))
+}

@@ -107,8 +107,8 @@ object Route {
    * recompute"). Adds `sink`; row multiplicity = Σ |sinks(row)|.
    */
   def apply(df: DataFrame, rules: Seq[RouteRule] = defaultRules): DataFrame = {
-    val tagged = array_compact(array(
-      rules.map(r => when(r.predicate, lit(r.sink))): _*))
+    val tagged = array_distinct(array_compact(array(
+      rules.map(r => when(r.predicate, lit(r.sink))): _*)))
     val sinks = when(col("is_corrupt"), array(lit(Sinks.DeadLetter)))
       .otherwise(tagged)
     df.withColumn("sink", explode(sinks))

@@ -1,0 +1,83 @@
+package pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import pipeline.config.{PipelineConfig, RuleCompiler}
+import pipeline.fixtures.Webtext
+import pipeline.stages.{Parse, Route}
+
+/** Config surface semantics (SURVEY.md §1.3, T6): hujson tolerance,
+  * $ENV expansion, both declaration shapes, config-driven routing. */
+class ConfigSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, 4, "config-spec")
+
+  // mirrors the shape of reference examples/config.json (comments, trailing
+  // commas, env-var webhook) + a routing block for our fan-out semantics
+  val hujson: String =
+    """{
+      |  // this is an example config file (comments are legal)
+      |  "sources": {
+      |    "nginx_syslog": { "type": "syslog", "path": "/landing/nginx", },
+      |    "journald": { "type": "journald", "maxLineLenKB": 200 },
+      |  },
+      |  "destinations": {
+      |    "s3": { "type": "s3", "pathPrefix": "logs/", "batchSize": 100, },
+      |    "runreveal": { "type": "webhook", "webhookURL": "$WEBHOOK_URL",
+      |                   "batchSize": 100, "flushFreq": "10s" },
+      |    "printer": { "type": "printer" },
+      |  },
+      |  "routing": [
+      |    { "when": "status >= 500", "sinks": ["printer", "runreveal"] },
+      |    { "when": "lang == 'en'", "sinks": ["runreveal"] },
+      |    { "when": "", "sinks": ["s3"] },
+      |  ],
+      |}""".stripMargin
+
+  test("hujson parse: comments, trailing commas, env expansion, both shapes") {
+    val env = Map("WEBHOOK_URL" -> "https://example.test/hook")
+    val spec = PipelineConfig.parse(hujson, env)
+    assert(spec.sources.map(_.id) == Seq("nginx_syslog", "journald"))
+    assert(spec.sources(1).maxLineLenKB.contains(200))
+    assert(spec.sinks.find(_.id == "runreveal").get.webhookUrl
+      .contains("https://example.test/hook"))
+    assert(spec.sinks.find(_.id == "runreveal").get.flushFreq.contains("10s"))
+    // unexpanded when env var missing: value preserved verbatim
+    val spec2 = PipelineConfig.parse(hujson, Map.empty)
+    assert(spec2.sinks.find(_.id == "runreveal").get.webhookUrl.contains("$WEBHOOK_URL"))
+    // array-shaped declarations (mqtt_config.json style)
+    val arr = PipelineConfig.parse(
+      """{"sources": [ {"type": "mqtt", "topic": "t"} ],
+        |"destinations": [ {"type": "mqtt"}, {"type": "printer"} ]}""".stripMargin)
+    assert(arr.sources.head.kind == "mqtt" && arr.sinks.size == 2)
+  }
+
+  test("config-driven routing equals the built-in default rules") {
+    val s = spark
+    s.sparkContext.setLogLevel("ERROR")
+    val spec = PipelineConfig.parse(hujson, Map("WEBHOOK_URL" -> "x"))
+    val rules = RuleCompiler.rules(spec)
+    val parsed = Parse(Webtext.df(s, 3000, 4))
+    val viaConfig = Route(parsed, rules).groupBy("sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDefault = Route(parsed).groupBy("sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaConfig == viaDefault)
+  }
+
+  test("rule compiler: operators and conjunction") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((200, "en", 10L), (504, "de", 99L), (301, "en", 5L))
+      .toDF("status", "lang", "bytes")
+    def n(w: String) = df.filter(RuleCompiler.compile(w)).count()
+    assert(n("status >= 500") == 1)
+    assert(n("lang == 'en'") == 2)
+    assert(n("lang != 'en'") == 1)
+    assert(n("status < 400 && bytes <= 10") == 2)
+    assert(n("") == 3)
+    intercept[IllegalArgumentException](RuleCompiler.compile("status ~ 5"))
+  }
+}

