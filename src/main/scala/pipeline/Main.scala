@@ -58,16 +58,29 @@ object Pipeline {
     "sink", "day").map(col)
 
   def runFused(spark: SparkSession, webtext: DataFrame, outDir: String): Map[String, Long] = {
+    // explicit partition count pins write parallelism to the session's
+    // shuffle setting — without it AQE coalesces to ~the same task count at
+    // every cluster size, capping scale-up (measured: efficiency 0.36→ok)
+    val writeTasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val routed = transform(webtext)
       .select(outCols: _*)
       .withColumn("salt", pmod(xxhash64(col("url")), lit(Salts)))
-      .repartition(col("sink"), col("day"), col("salt"))
+      .repartition(writeTasks, col("sink"), col("day"), col("salt"))
       .drop("salt")
     val io = new ParquetTableIO(outDir)
     val schema = routed.schema // explicit on read-back: empty writes have no files to infer from
-    io.write(routed, "routed", Seq("sink", "day"))
-    val counts = Aggregate.sinkCounts(spark.read.schema(schema).parquet(s"$outDir/routed"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("GRAFT_PHASE_TIMING"))
+        println(f"[fused] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    phase("write")(io.write(routed, "routed", Seq("sink", "day")))
+    val counts = phase("readback") {
+      Aggregate.sinkCounts(spark.read.schema(schema).parquet(s"$outDir/routed"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     val ledger = new Ledger(outDir)
     counts.foreach { case (s, n) => ledger.commit(s"fused/sink=$s", n) }
     counts

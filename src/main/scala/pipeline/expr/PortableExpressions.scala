@@ -206,4 +206,6 @@ object PortableExprs {
   def hyperplaneSig(vec: Column, planes: Int, dim: Int): Column =
     c(HyperplaneSigExpr(e(vec), planes, dim))
   def shingles(text: Column, nGram: Int): Column = c(ShinglesExpr(e(text), nGram))
+  def parseEvent(url: Column, text: Column, maxLineLenKB: Int = 200): Column =
+    c(ParseEventExpr(e(url), e(text), maxLineLenKB))
 }

@@ -118,7 +118,9 @@ object Webtext {
   def bytesField(i: Long): Long = draw(i, 8) % 1000000
 
   private def tsMillis(i: Long): Long =
-    1767225600000L + i * 60000L // 2026-01-01T00:00:00Z + i minutes
+    // 2026-01-01T00:00:00Z + (i mod 30 days) minutes — bounded day span so
+    // the (sink, day) write-partition count stays sane at any row count
+    1767225600000L + (i % 43200L) * 60000L
 
   private def tsIso(i: Long): String =
     java.time.Instant.ofEpochMilli(tsMillis(i)).toString

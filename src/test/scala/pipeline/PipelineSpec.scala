@@ -74,6 +74,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("native parse fast path == Column formulation, field by field") {
+    val s = sc
+    val docs = Webtext.df(s, 3000, 4)
+    val cols = Seq("url", "host", "title", "status", "bytes", "method",
+      "extracted_text", "is_corrupt", "norm", "day").map(col)
+    val fast = Parse(docs).select(cols: _*)
+    val slow = pipeline.stages.Parse.columns(docs).select(cols: _*)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    // norm coalescing is exercised: some rows carry empty-string numerics
+    assert(fast.filter(col("norm").isNotNull &&
+      col("norm.body_bytes_sent") === 0L).count() > 0)
+  }
+
   test("salted repartition never changes row multiplicity") {
     val s = sc
     val routed = Pipeline.transform(Webtext.df(s, 2000, 4))
