@@ -44,10 +44,14 @@ object Pipeline {
 
   val Salts = 8
 
-  /** The shared narrow stage chain: parse → enrich → route. */
-  def transform(webtext: DataFrame): DataFrame = {
+  /** The shared narrow stage chain: parse → enrich → route.
+    * `observed = true` attaches the batcher/deadletter accounting metrics
+    * (pipeline.Metrics) to the parse stage — computed inline during the
+    * action, no extra pass. */
+  def transform(webtext: DataFrame, observed: Boolean = false): DataFrame = {
     val spark = webtext.sparkSession
-    val parsed = Parse(webtext)
+    val parsed0 = Parse(webtext)
+    val parsed = if (observed) Metrics.observeParsed(parsed0) else parsed0
     val enriched = Enrich(parsed, Webtext.langMetaDf(spark), Webtext.geoDf(spark))
     Route(enriched)
   }
@@ -62,7 +66,7 @@ object Pipeline {
     // shuffle setting — without it AQE coalesces to ~the same task count at
     // every cluster size, capping scale-up (measured: efficiency 0.36→ok)
     val writeTasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val routed = transform(webtext)
+    val routed = transform(webtext, observed = true)
       .select(outCols: _*)
       .withColumn("salt", pmod(xxhash64(col("url")), lit(Salts)))
       .repartition(writeTasks, col("sink"), col("day"), col("salt"))
