@@ -186,6 +186,20 @@ object Oracle {
         |JOIN sizes sb ON sb.doc_id = b
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
 
+    "q_dedup_embed" ->
+      """WITH a AS (SELECT vec_id AS a, embedding AS va FROM embeddings),
+        |b AS (SELECT vec_id AS b, embedding AS vb FROM embeddings),
+        |scored AS (
+        |  SELECT a, b,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))), (x,y) -> x+y))) AS cos
+        |  FROM a JOIN b ON a < b)
+        |SELECT a, b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
+
     "q_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),

@@ -193,6 +193,17 @@ object Queries {
       .select(col("qid"), col("cid"), col("cos"), col("rank").cast("long").as("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (dedup family, exact doubles). */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos", pipeline.expr.PortableExprs.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.4)
+      .select("a", "b", "cos")
+  }
+
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"),

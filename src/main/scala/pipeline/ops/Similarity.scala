@@ -28,7 +28,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val scored = q.join(c, col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", pipeline.expr.PortableExprs.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -60,7 +60,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), sig.as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), sig.as("bucket")))
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", pipeline.expr.PortableExprs.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -93,7 +93,7 @@ object Similarity {
       (df: DataFrame) => df
         .withColumn("_rid", monotonically_increasing_id())
         .crossJoin(cents)
-        .withColumn("_ccos", cosine(col(v), col("centroid")))
+        .withColumn("_ccos", pipeline.expr.PortableExprs.cosine(col(v), col("centroid")))
         .withColumn("_crank", row_number().over(w))
         .filter(col("_crank") <= n)
         .drop("centroid", "_ccos", "_crank", "_rid")
@@ -103,7 +103,7 @@ object Similarity {
     val q = nearestCells("qv", nProbe)(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
     val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", pipeline.expr.PortableExprs.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

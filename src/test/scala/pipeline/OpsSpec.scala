@@ -44,6 +44,17 @@ class OpsSpec extends AnyFunSuite {
     assert(both.filter(col("a") =!= col("b") || col("fa") =!= col("fb")).count() == 0)
   }
 
+  test("native cosine == HOF cosine, bit for bit, incl. real embeddings") {
+    val s = sc
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("a") < col("b"))
+      .select(Portable.cosine(col("va"), col("vb")).as("hof"),
+        PortableExprs.cosine(col("va"), col("vb")).as("fast"))
+    assert(pairs.filter(col("hof") =!= col("fast")).count() == 0)
+  }
+
   test("native hyperplane sig == HOF hyperplane sig on synthetic vectors") {
     val s = sc
     import s.implicits._
