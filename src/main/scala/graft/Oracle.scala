@@ -228,6 +228,14 @@ object Oracle {
         |  FROM embeddings)
         |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec FROM b GROUP BY 1""".stripMargin,
 
+    "q_parse_syslog" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(regexp_extract(
+        |   '<190>Jan  1 00:00:01 web01 nginx: ' || regexp_replace(text, '\n', ' ', 'g'),
+        |   '^<[0-9]{1,3}>[A-Z][a-z]{2} [ 0-9][0-9] [0-9:]{8} \S+ \S+?: (.*)$', 1)))
+        |  AS BIGINT) AS payload_bytes
+        |FROM documents""".stripMargin,
+
     "q_lang_id" ->
       """WITH scores AS (
         |  SELECT doc_id,

@@ -211,6 +211,24 @@ object Queries {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
 
+  /** IVF-style ANN (k-means cells) — model-dependent, rows-only check. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 3)
+  }
+
+  /** S3: syslog envelope strip, demonstrated end-to-end (envelope is
+    * constructed deterministically so DuckDB can mirror it). */
+  def qParseSyslog(s: SparkSession, dir: String): DataFrame = {
+    val framed = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(lit("<190>Jan  1 00:00:01 web01 nginx: "),
+        regexp_replace(col("text"), "\n", " ")).as("payload"))
+    pipeline.sources.Sources.stripSyslog(framed)
+      .select(col("doc_id"), octet_length(col("payload")).cast("long").as("payload_bytes"))
+  }
+
   def qLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))

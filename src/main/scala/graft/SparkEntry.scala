@@ -39,6 +39,8 @@ object SparkEntry {
     "q_dedup_embed" -> (Queries.qDedupEmbed _),
     "q_ann_cosine" -> (Queries.qAnnCosine _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
+    "q_ann_ivf" -> (Queries.qAnnIvf _),
+    "q_parse_syslog" -> (Queries.qParseSyslog _),
     "q_lang_id" -> (Queries.qLangId _),
     "q_quality" -> (Queries.qQuality _),
     "q_token_count" -> (Queries.qTokenCount _),
