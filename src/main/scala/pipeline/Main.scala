@@ -61,16 +61,21 @@ object Pipeline {
     "bytes", "method", "extracted_text", "is_corrupt", "lang_family", "region",
     "sink", "day").map(col)
 
-  def runFused(spark: SparkSession, webtext: DataFrame, outDir: String): Map[String, Long] = {
-    // explicit partition count pins write parallelism to the session's
-    // shuffle setting — without it AQE coalesces to ~the same task count at
-    // every cluster size, capping scale-up (measured: efficiency 0.36→ok)
-    val writeTasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val routed = transform(webtext, observed = true)
+  /** The exact pre-write plan: transform → project (prunes `html` from the
+    * scan) → salted repartition. Explicit partition count pins write
+    * parallelism to the session's shuffle setting — without it AQE
+    * coalesces to ~the same task count at every cluster size, capping
+    * scale-up (measured: efficiency 0.36→ok). */
+  def fusedPlan(webtext: DataFrame, writeTasks: Int, observed: Boolean = false): DataFrame =
+    transform(webtext, observed)
       .select(outCols: _*)
       .withColumn("salt", pmod(xxhash64(col("url")), lit(Salts)))
       .repartition(writeTasks, col("sink"), col("day"), col("salt"))
       .drop("salt")
+
+  def runFused(spark: SparkSession, webtext: DataFrame, outDir: String): Map[String, Long] = {
+    val writeTasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val routed = fusedPlan(webtext, writeTasks, observed = true)
     val io = new ParquetTableIO(outDir)
     val schema = routed.schema // explicit on read-back: empty writes have no files to infer from
     def phase[T](name: String)(f: => T): T = {

@@ -1,0 +1,44 @@
+package pipeline.expr
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * SQL registration of the native expressions, so `spark.sql` users get the
+ * same operator surface as the Column API (a reference user switching to
+ * this library can stay in SQL):
+ *
+ *   SELECT graft_simhash(text), graft_fingerprint(text),
+ *          graft_minhash_sig(text, 3, 8), graft_shingles(text, 3),
+ *          graft_cosine(a, b), graft_hyperplane_sig(vec, 6, 64),
+ *          graft_parse_event(url, text).*
+ */
+object Functions {
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHashExpr(es.head, if (es.size > 1) intLit(es(1), "bits") else 16),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      es => FingerprintExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSigExpr(es.head, intLit(es(1), "nGram"), intLit(es(2), "numHashes")),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      es => ShinglesExpr(es.head, intLit(es(1), "nGram")), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => CosineSimExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_sig",
+      es => HyperplaneSigExpr(es.head, intLit(es(1), "planes"), intLit(es(2), "dim")),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_parse_event",
+      es => ParseEventExpr(es.head, es(1)), "built-in")
+  }
+}
