@@ -208,9 +208,11 @@ object ParseEventExpr {
                   else if (f == "uri" && v != JsonToken.VALUE_NULL) uri = p.getText
                 } else if (depth == 2 && section == 2) {
                   if (f == "response_length") rl = if (v == JsonToken.VALUE_NULL) null else p.getText
-                  else if (f == "bytes_sent" && v.isNumeric) upBytesSent = p.getLongValue
+                  // getValueAsLong applies Jackson's string->number coercion,
+                  // matching buildNorm's asLong on the slow path
+                  else if (f == "bytes_sent" && v != JsonToken.VALUE_NULL) upBytesSent = p.getValueAsLong(0L)
                 } else if (depth == 2 && section == 3) {
-                  if (f == "status" && v.isNumeric) respStatus = p.getIntValue
+                  if (f == "status" && v != JsonToken.VALUE_NULL) respStatus = p.getValueAsInt(0)
                   else if (f == "body_bytes_sent") bbs = if (v == JsonToken.VALUE_NULL) null else p.getText
                 }
               }
@@ -223,17 +225,22 @@ object ParseEventExpr {
       } finally p.close()
     } catch { case _: Exception => return null }
     if (ts == null) return null
-    def coalesceNum(v: String): Long = if (v == null || v.isEmpty) 0L else v.toLong
-    val micros = DateTimeUtils.stringToTimestamp(u(ts), java.time.ZoneOffset.UTC)
-      .getOrElse(null)
-    InternalRow(
-      micros,
-      if (reqMethod == null) null else u(reqMethod),
-      if (uri == null) null else u(uri),
-      respStatus,
-      java.lang.Long.valueOf(coalesceNum(bbs)),
-      java.lang.Long.valueOf(coalesceNum(rl)),
-      upBytesSent)
+    // numeric coercion must stay inside a guard: a non-long string here must
+    // mark the row corrupt (null), exactly like the slow path's try around
+    // buildNorm — not crash the job
+    try {
+      def coalesceNum(v: String): Long = if (v == null || v.isEmpty) 0L else v.toLong
+      val micros = DateTimeUtils.stringToTimestamp(u(ts), java.time.ZoneOffset.UTC)
+        .getOrElse(null)
+      InternalRow(
+        micros,
+        if (reqMethod == null) null else u(reqMethod),
+        if (uri == null) null else u(uri),
+        respStatus,
+        java.lang.Long.valueOf(coalesceNum(bbs)),
+        java.lang.Long.valueOf(coalesceNum(rl)),
+        upBytesSent)
+    } catch { case _: NumberFormatException => null }
   }
 
   private val jsonFactory = {

@@ -162,6 +162,9 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, dim: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toFloatArray()
+    // HOF twin: v.getItem(i) past the end null-poisons every plane's dot,
+    // so when(dot > 0) falls to the otherwise(0) branch -> bucket 0
+    if (v.length < dim) return java.lang.Long.valueOf(0L)
     var bucket = 0L
     var p = 0
     while (p < planes) {
@@ -190,7 +193,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData].toFloatArray()
     val vb = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(va.length, vb.length)
+    // HOF twin (zip_with) null-pads a length mismatch and the fold returns
+    // null — mirror that instead of silently truncating
+    if (va.length != vb.length) return null
+    val n = va.length
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }

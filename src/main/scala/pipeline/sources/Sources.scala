@@ -38,10 +38,12 @@ object Sources {
   val SyslogRe = "^<[0-9]{1,3}>[A-Z][a-z]{2} [ 0-9][0-9] [0-9:]{8} \\S+ \\S+?: (.*)$"
 
   def stripSyslog(df: DataFrame, payloadCol: String = "payload"): DataFrame =
-    df.withColumn(payloadCol, {
-      val stripped = regexp_extract(col(payloadCol), SyslogRe, 1)
-      when(nullif(stripped, lit("")).isNotNull, stripped).otherwise(col(payloadCol))
-    })
+    df.withColumn(payloadCol,
+      // rlike, not an empty-capture heuristic: an envelope with an EMPTY
+      // message must yield an empty payload, not the raw envelope
+      when(col(payloadCol).rlike(SyslogRe),
+        regexp_extract(col(payloadCol), SyslogRe, 1))
+        .otherwise(col(payloadCol)))
 
   /** S2 `journald`-style guard: cap payload size (`maxLineLenKB`,
     * reference `examples/journald_to_s3batch_config.json:5`);

@@ -60,7 +60,10 @@ object Parse {
     val kv = coalesce(get(lines, lit(1)), lit(""))
     val jsonLineRaw = get(lines, lit(3))
     val jsonLine = when(jsonLineRaw.startsWith("{"), jsonLineRaw)
-    df.withColumn("host", parse_url(col("url"), lit("HOST")))
+    // NOT parse_url: that strips ports/userinfo; the spec (RefNormalizer
+    // .host) keeps everything between :// and the first '/'
+    df.withColumn("host",
+        nullif(regexp_extract(col("url"), "^(.*?)://([^/]*)", 2), lit("")))
       .withColumn("_lines", lines)
       .withColumn("title",
         regexp_extract(coalesce(get(col("_lines"), lit(0)), lit("")), "^title: (.*)$", 1))
@@ -130,11 +133,21 @@ object Route {
    * downstream write, vs M re-scans (SURVEY.md §4.1 "fan-out without
    * recompute"). Adds `sink`; row multiplicity = Σ |sinks(row)|.
    */
-  def apply(df: DataFrame, rules: Seq[RouteRule] = defaultRules): DataFrame = {
+  def apply(df: DataFrame, rules: Seq[RouteRule] = defaultRules,
+            unmatchedTo: Option[String] = Some(Sinks.DeadLetter)): DataFrame = {
     val tagged = array_distinct(array_compact(array(
       rules.map(r => when(r.predicate, lit(r.sink))): _*)))
+    // a row matching NO rule must never vanish silently: it diverts to
+    // `unmatchedTo` (deadletter by default) and stays visible in the
+    // accounting. Pass None for kawa's filter semantics (handler -> 0
+    // events) where dropping is the intent.
+    val safeTagged = unmatchedTo match {
+      case Some(sink) =>
+        when(size(tagged) === 0, array(lit(sink))).otherwise(tagged)
+      case None => tagged
+    }
     val sinks = when(col("is_corrupt"), array(lit(Sinks.DeadLetter)))
-      .otherwise(tagged)
+      .otherwise(safeTagged)
     df.withColumn("sink", explode(sinks))
   }
 }

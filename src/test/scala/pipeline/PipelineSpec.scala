@@ -87,6 +87,38 @@ class PipelineSpec extends AnyFunSuite {
       col("norm.body_bytes_sent") === 0L).count() > 0)
   }
 
+  test("host semantics keep port/userinfo in BOTH parse formulations") {
+    val s = sc
+    import s.implicits._
+    val docs = Seq(
+      WebDoc("https://h.example.com:8443/p/1", new java.sql.Timestamp(0L), null, "title: x\nstatus=200 bytes=1 method=GET\nbody", "en"),
+      WebDoc("https://u@h.example.com/p/2", new java.sql.Timestamp(0L), null, "t", "en"),
+      WebDoc("no-scheme-at-all", new java.sql.Timestamp(0L), null, "t", "en")).toDF()
+    val fast = Parse(docs).select("url", "host").as[(String, String)].collect().toMap
+    val cols = pipeline.stages.Parse.columns(docs).select("url", "host")
+      .as[(String, String)].collect().toMap
+    assert(fast == cols)
+    assert(fast("https://h.example.com:8443/p/1") == "h.example.com:8443")
+    assert(fast("https://u@h.example.com/p/2") == "u@h.example.com")
+    assert(fast("no-scheme-at-all") == null)
+    docs.collect() // noop
+  }
+
+  test("rows matching no routing rule divert to deadletter, never vanish") {
+    val s = sc
+    val parsed = Parse(Webtext.df(s, 1000, 4))
+    val total = parsed.count()
+    val never = Seq(pipeline.stages.RouteRule(col("status") === -1, "s3"))
+    val bySink = Route(parsed, never).groupBy("sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySink.values.sum == total, s"rows vanished: $bySink vs $total")
+    assert(bySink.keySet == Set("deadletter"))
+    // explicit opt-in to kawa filter semantics drops them
+    val dropped = Route(parsed, never, unmatchedTo = None)
+      .filter(!col("is_corrupt")).count()
+    assert(dropped == 0)
+  }
+
   test("salted repartition never changes row multiplicity") {
     val s = sc
     val routed = Pipeline.transform(Webtext.df(s, 2000, 4))

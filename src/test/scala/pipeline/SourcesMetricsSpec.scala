@@ -28,6 +28,10 @@ class SourcesMetricsSpec extends AnyFunSuite {
     assert(out(1) == json)
     assert(out(2) == "not a syslog line at all")
     assert(out(3) == json)
+    // an envelope with an EMPTY message yields an empty payload,
+    // not the raw envelope
+    val empty = Seq("<13>Aug 16 12:00:00 web01 nginx: ").toDF("payload")
+    assert(Sources.stripSyslog(empty).as[String].head == "")
   }
 
   test("fan-in unions heterogeneous sources with null-filled columns") {
