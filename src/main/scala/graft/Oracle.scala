@@ -43,6 +43,17 @@ object Oracle {
         |   ELSE CAST(user_id AS VARCHAR) END, ''), '0') AS BIGINT) AS norm_user
         |FROM events""".stripMargin,
 
+    "q_map_filter" ->
+      """SELECT event_type, count(*) AS n_high,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |GROUP BY 1""".stripMargin,
+
+    "q_dedup_apply" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+
     "q_truncate_guard" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(substr(text, 1, 100))) AS BIGINT) AS trunc_bytes,

@@ -49,6 +49,24 @@ object Queries {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k_val"))
 
+  /** T3-analog on MAP-typed payload fields (the Windows EventData shape:
+    * `EventData[Data[@Name='LogonType']]` ≙ element_at(map, key)). */
+  def qMapFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    t(s, dir, "events")
+      .withColumn("props_map",
+        from_json(col("props"), MapType(StringType, LongType)))
+      .filter(element_at(col("props_map"), "k") > 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_high"),
+        sum(element_at(col("props_map"), "k")).as("sum_k"))
+  }
+
+  /** Exact-dedup APPLIED: the surviving corpus rows (keeper per text). */
+  def qDedupApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropExactDuplicates(t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "lang", "n_chars")
+
   /** Default-value coalescing (nginx empty→0 rule) exercised end-to-end. */
   def qNormalizeCoalesce(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

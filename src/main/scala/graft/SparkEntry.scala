@@ -18,6 +18,8 @@ object SparkEntry {
     "q_parse_extract" -> (Queries.qParseExtract _),
     "q_parse_json" -> (Queries.qParseJson _),
     "q_normalize_coalesce" -> (Queries.qNormalizeCoalesce _),
+    "q_map_filter" -> (Queries.qMapFilter _),
+    "q_dedup_apply" -> (Queries.qDedupApply _),
     "q_truncate_guard" -> (Queries.qTruncateGuard _),
     "q_enrich_broadcast" -> (Queries.qEnrichBroadcast _),
     "q_route_explode" -> (Queries.qRouteExplode _),

@@ -26,6 +26,14 @@ object Dedup {
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Apply exact dedup: return the corpus with only the keeper row (min id)
+    * of each duplicate-text group — the "clean the corpus" form of [[exact]].
+    * One digest shuffle + a semi-join back; text bytes are never shuffled. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** MinHash signature as an array column — computed narrowly per row.
     * sig[j] = min over shingles s of ((2j+1)·h32(s) + 7919j+1) mod P. */
   def minhashSig(textCol: String, nGram: Int, numHashes: Int) = {
