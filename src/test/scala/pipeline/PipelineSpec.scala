@@ -62,16 +62,28 @@ class PipelineSpec extends AnyFunSuite {
     val s = sc
     import s.implicits._
     val big = "title: big doc\nstatus=200 bytes=1 method=GET\n" + ("x" * 300000)
+    // >200KB WITH a json line before the padding: exercises the slow
+    // (String) parse path including its nginx/norm branch
+    val bigJson = "title: j\nstatus=504 bytes=2 method=GET\nbody words\n" +
+      pipeline.fixtures.Webtext.nginxJson(7L) + "\n" + ("y" * 300000)
+    val bigCorrupt = "title: c\nstatus=200 bytes=3 method=GET\nbody\n" +
+      "{\"broken\": " + "\n" + ("z" * 300000)
     val docs = Seq(
       WebDoc("https://x.example.com/1", new java.sql.Timestamp(0L), null, big, "en"),
-      WebDoc("https://x.example.com/2", new java.sql.Timestamp(0L), null, "no structure at all", "de"))
+      WebDoc("https://x.example.com/2", new java.sql.Timestamp(0L), null, "no structure at all", "de"),
+      WebDoc("https://x.example.com/3", new java.sql.Timestamp(0L), null, bigJson, "en"),
+      WebDoc("https://x.example.com/4", new java.sql.Timestamp(0L), null, bigCorrupt, "en"))
     val got = Parse(docs.toDF())
-      .select("url", "extracted_text").as[(String, String)].collect().toMap
+      .select("url", "extracted_text", "is_corrupt", "status")
+      .as[(String, String, Boolean, Int)].collect().map(r => r._1 -> r).toMap
     docs.foreach { d =>
       val ref = RefNormalizer.parse(d)
-      assert(got(d.url) == ref.extracted_text)
+      assert(got(d.url)._2 == ref.extracted_text)
+      assert(got(d.url)._3 == ref.is_corrupt, s"corrupt mismatch for ${d.url}")
+      assert(got(d.url)._4 == ref.status)
       assert(ref.extracted_text.length <= RefNormalizer.MaxChars + 1)
     }
+    assert(!got("https://x.example.com/3")._3 && got("https://x.example.com/4")._3)
   }
 
   test("native parse fast path == Column formulation, field by field") {
