@@ -50,7 +50,8 @@ object Dedup {
    * Output: (a, b) candidate id pairs, a < b, distinct.
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 nGram: Int = 3, bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
+                 nGram: Int = 3, bands: Int = 2, rowsPerBand: Int = 4,
+                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
     // fast native expression (pipeline.expr); returns null when no shingles —
     // same surviving set as the HOF all-null-signature filter (parity-tested)
@@ -62,8 +63,20 @@ object Dedup {
       transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
           .cast("binary")))).as(Seq("band", "bkey")))
-    val l = banded.select(col("band"), col("bkey"), col("id").as("a"))
-    val r = banded.select(col("band"), col("bkey"), col("id").as("b"))
+    // scale guard: a bucket of k ids yields k(k-1)/2 pairs — low-entropy
+    // corpora (or adversarial keys) can blow the self-join up quadratically.
+    // Buckets above maxBucketSize are dropped (standard LSH practice; the
+    // dropped count is what a caller would log). Default = unlimited, which
+    // keeps exact parity with the SQL oracle.
+    val eligible =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy("band", "bkey").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize)
+          .select("band", "bkey"),
+        Seq("band", "bkey"), "left_semi")
+    val l = eligible.select(col("band"), col("bkey"), col("id").as("a"))
+    val r = eligible.select(col("band"), col("bkey"), col("id").as("b"))
     l.join(r, Seq("band", "bkey"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()

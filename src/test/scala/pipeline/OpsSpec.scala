@@ -94,6 +94,18 @@ class OpsSpec extends AnyFunSuite {
       s"missing ${expectPairs.diff(pairs).size} of ${expectPairs.size} exact-dup pairs")
   }
 
+  test("minhashLsh bucket cap bounds candidate pairs, uncapped is superset") {
+    val d = docs(2000)
+    val all = Dedup.minhashLsh(d, "id", "text").count()
+    val capped = Dedup.minhashLsh(d, "id", "text", maxBucketSize = 5).count()
+    assert(capped <= all)
+    val cappedPairs = Dedup.minhashLsh(d, "id", "text", maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = Dedup.minhashLsh(d, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.subsetOf(allPairs))
+  }
+
   test("ngramJaccard scores exact duplicates at 1.0 and respects threshold") {
     val d = docs(1500)
     val j = Dedup.ngramJaccard(d, "id", "text", 3, 0.5)
