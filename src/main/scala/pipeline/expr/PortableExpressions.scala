@@ -151,13 +151,14 @@ case class FingerprintExpr(child: Expression)
 /** Random-hyperplane LSH bucket for a float vector — same value as
   * Similarity.hyperplaneSig. Plane weights (±1) are precomputed once per
   * (planes, dim) from the same portable-hash formula. */
-case class HyperplaneSigExpr(child: Expression, planes: Int, dim: Int)
+case class HyperplaneSigExpr(child: Expression, planes: Int, dim: Int,
+                             planeOffset: Int = 0)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
 
   @transient private lazy val weights: Array[Array[Double]] =
     Array.tabulate(planes, dim) { (p, i) =>
-      (PortableHash.hash32(s"$p:$i") % 2L) * 2.0 - 1.0
+      (PortableHash.hash32(s"${p + planeOffset}:$i") % 2L) * 2.0 - 1.0
     }
 
   override def nullSafeEval(input: Any): Any = {
@@ -235,8 +236,8 @@ object PortableExprs {
     c(MinHashSigExpr(e(text), nGram, numHashes))
   def simhash(text: Column, bits: Int): Column = c(SimHashExpr(e(text), bits))
   def fingerprint(text: Column): Column = c(FingerprintExpr(e(text)))
-  def hyperplaneSig(vec: Column, planes: Int, dim: Int): Column =
-    c(HyperplaneSigExpr(e(vec), planes, dim))
+  def hyperplaneSig(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
+    c(HyperplaneSigExpr(e(vec), planes, dim, planeOffset))
   def shingles(text: Column, nGram: Int): Column = c(ShinglesExpr(e(text), nGram))
   def parseEvent(url: Column, text: Column, maxLineLenKB: Int = 200): Column =
     c(ParseEventExpr(e(url), e(text), maxLineLenKB))

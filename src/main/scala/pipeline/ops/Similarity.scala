@@ -53,13 +53,27 @@ object Similarity {
       (acc, p) => acc + get(bits, p) * call_function("shiftleft", lit(1L), p))
   }
 
-  /** LSH-bucketed ANN: exact cosine top-k within the query's bucket. */
+  /** LSH-bucketed ANN: exact cosine top-k within the query's bucket(s).
+    * `tables` > 1 is the standard OR-construction: L independent
+    * hyperplane signatures (disjoint plane index ranges feed the portable
+    * weight hash, so tables are independent by construction); a candidate
+    * matches if it shares ANY table's bucket — recall rises with L at the
+    * cost of more candidates. One corpus pass computes all L buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
-    val sig = pipeline.expr.PortableExprs.hyperplaneSig(col(vecCol), planes, dim)
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), sig.as("bucket"))
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), sig.as("bucket")))
-    val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+              vecCol: String, k: Int, planes: Int, dim: Int,
+              tables: Int = 1): DataFrame = {
+    def sigs(c: DataFrame, id: String, v: String) =
+      c.select(col(id), col(v), posexplode(array(
+        (0 until tables).map(t => pipeline.expr.PortableExprs
+          .hyperplaneSig(col(v), planes, dim, planeOffset = t * planes)): _*))
+        .as(Seq("table", "bucket")))
+    val c = sigs(corpus, idCol, vecCol)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("table"), col("bucket"))
+    val q = broadcast(sigs(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("table"), col("bucket")))
+    val scored = q.join(c, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qv", "cid", "cv").distinct() // OR across tables
       .withColumn("cos", pipeline.expr.PortableExprs.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
