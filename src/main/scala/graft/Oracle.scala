@@ -20,8 +20,8 @@ object Oracle {
   val sql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         | count(*) AS count_order,
         | CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
@@ -102,7 +102,7 @@ object Oracle {
     "q_window_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        | CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_topk_users" ->
@@ -136,9 +136,8 @@ object Oracle {
 
     "q_join_agg" ->
       """SELECT o_orderpriority,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |   AS DECIMAL(18,4)) AS revenue,
+        | CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |          (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,

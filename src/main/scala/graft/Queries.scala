@@ -24,13 +24,17 @@ object Queries {
 
   // ---------- core relational / pipeline operators ----------
 
-  /** Flagship TPC-H-Q1-style aggregate (scan + hash agg, decimal-exact). */
+  /** Flagship TPC-H-Q1-style aggregate (scan + hash agg). Money is summed
+    * as integer cents — `floor(x*100 + 0.5)` is pure IEEE double arithmetic
+    * plus an integer sum, bit-identical across engines (DECIMAL outputs
+    * round-trip differently through pandas-style readers; DuckDB sum(BIGINT)
+    * is HUGEINT and must be cast back down on the oracle side). */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity").cast("long")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5)).as("sum_price_cents"),
         count(lit(1)).as("count_order"),
         (sum(col("l_quantity").cast("long")).cast("double") /
           count(lit(1)).cast("double")).as("avg_qty"))
@@ -131,12 +135,13 @@ object Queries {
     t(s, dir, "documents").filter(col("n_chars") > 450)
       .select(col("doc_id"), col("n_chars"))
 
-  /** A1-analog: event-time tumbling window aggregation. */
+  /** A1-analog: event-time tumbling window aggregation (integer-cents sum;
+    * see [[q1Agg]] for why DECIMAL outputs are avoided). */
   def qWindowHourly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        sum(floor(col("value") * 100 + 0.5)).as("sum_value_cents"))
 
   /** Top-k with deterministic tie-break. */
   def qTopkUsers(s: SparkSession, dir: String): DataFrame =
@@ -177,15 +182,16 @@ object Queries {
     t(s, dir, "documents").rollup("source", "lang")
       .agg(count(lit(1)).as("n_docs"))
 
-  /** Join + aggregate (shuffle join; decimal-exact revenue). */
+  /** Join + aggregate (shuffle join). Revenue in exact integer e4 units:
+    * price-cents × (100 − discount-percent) — pure integer arithmetic on
+    * both engines, immune to decimal re-rendering in pandas-style readers. */
   def qJoinAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-          .cast("decimal(18,4)").as("revenue"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5) *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5))).as("revenue_e4"),
         count(lit(1)).as("n_items"))
 
   // ---------- training-data ops ----------
