@@ -182,7 +182,14 @@ object ParseEventExpr {
       try {
         if (p.nextToken() != JsonToken.START_OBJECT) return null
         var depth = 1
-        var section = 0 // 0=root 1=request 2=upstream 3=response 9=other
+        // Category of the CURRENT depth-2 object (1=request 2=upstream
+        // 3=response 9=other). Set only on the 1→2 transition and left
+        // untouched while inside nested depth≥3 objects, so fields appearing
+        // after a nested sibling (e.g. {"response":{"hdr":{},"status":500}})
+        // still attribute to their section — matching readTree/buildNorm,
+        // which only ever look at direct depth-2 children. Scalar reads below
+        // all guard on depth == 2, so a stale value at other depths is inert.
+        var section2 = 0
         while (depth > 0) {
           val t = p.nextToken()
           if (t == null) return null
@@ -190,35 +197,62 @@ object ParseEventExpr {
             case JsonToken.FIELD_NAME =>
               val f = p.currentName()
               val v = p.nextToken()
+              // Duplicate keys: LAST occurrence wins INCLUDING null values,
+              // matching readTree (a later binding replaces the earlier one
+              // wholesale) — so bindings assign/reset rather than skip.
+              // readTree re-binding corner cases, mirrored exactly:
+              //  - "ts" bound to an object/array: asText() == "" → accepted
+              //    with a null timestamp (not corrupt);
+              //  - a section key re-bound to a scalar/array/null: its fields
+              //    read as absent;
+              //  - a section object re-entered: fields cleared first (a
+              //    second {"request":{...}} must not inherit "method").
+              def resetSection(sec: Int): Unit = sec match {
+                case 1 => reqMethod = null; uri = null
+                case 2 => rl = null; upBytesSent = null
+                case 3 => respStatus = null; bbs = null
+                case _ =>
+              }
+              def sectionOf(name: String): Int = name match {
+                case "request" => 1
+                case "upstream" => 2
+                case "response" => 3
+                case _ => 9
+              }
               if (v == JsonToken.START_OBJECT) {
                 depth += 1
-                section =
-                  if (depth == 2) f match {
-                    case "request" => 1
-                    case "upstream" => 2
-                    case "response" => 3
-                    case _ => 9
-                  } else 9
+                if (depth == 2) {
+                  if (f == "ts") ts = ""
+                  section2 = sectionOf(f)
+                  resetSection(section2)
+                }
               } else if (v == JsonToken.START_ARRAY) {
+                if (depth == 1) {
+                  if (f == "ts") ts = "" else resetSection(sectionOf(f))
+                }
                 p.skipChildren()
               } else {
-                if (depth == 1 && f == "ts" && v != JsonToken.VALUE_NULL) ts = p.getText
-                else if (depth == 2 && section == 1) {
-                  if (f == "method" && v != JsonToken.VALUE_NULL) reqMethod = p.getText
-                  else if (f == "uri" && v != JsonToken.VALUE_NULL) uri = p.getText
-                } else if (depth == 2 && section == 2) {
-                  if (f == "response_length") rl = if (v == JsonToken.VALUE_NULL) null else p.getText
+                val isNull = v == JsonToken.VALUE_NULL
+                if (depth == 1) {
+                  if (f == "ts") ts = if (isNull) null else p.getText
+                  else resetSection(sectionOf(f))
+                } else if (depth == 2 && section2 == 1) {
+                  if (f == "method") reqMethod = if (isNull) null else p.getText
+                  else if (f == "uri") uri = if (isNull) null else p.getText
+                } else if (depth == 2 && section2 == 2) {
+                  if (f == "response_length") rl = if (isNull) null else p.getText
                   // getValueAsLong applies Jackson's string->number coercion,
                   // matching buildNorm's asLong on the slow path
-                  else if (f == "bytes_sent" && v != JsonToken.VALUE_NULL) upBytesSent = p.getValueAsLong(0L)
-                } else if (depth == 2 && section == 3) {
-                  if (f == "status" && v != JsonToken.VALUE_NULL) respStatus = p.getValueAsInt(0)
-                  else if (f == "body_bytes_sent") bbs = if (v == JsonToken.VALUE_NULL) null else p.getText
+                  else if (f == "bytes_sent")
+                    upBytesSent = if (isNull) null else java.lang.Long.valueOf(p.getValueAsLong(0L))
+                } else if (depth == 2 && section2 == 3) {
+                  if (f == "status")
+                    respStatus = if (isNull) null else Integer.valueOf(p.getValueAsInt(0))
+                  else if (f == "body_bytes_sent") bbs = if (isNull) null else p.getText
                 }
               }
             case JsonToken.END_OBJECT =>
               depth -= 1
-              if (depth == 1) section = 0
             case _ => return null
           }
         }

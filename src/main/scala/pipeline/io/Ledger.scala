@@ -48,8 +48,17 @@ final class Ledger(dir: String) {
   /** Append a commit record. Atomic enough for a single driver (POSIX
     * O_APPEND of one small line); Iceberg snapshot commit on a cluster. */
   def commit(unit: String, rows: Long, metrics: Map[String, Long] = Map.empty): Unit = {
-    val extra = metrics.map { case (k, v) => s""","$k":$v""" }.mkString
-    val line = s"""{"unit":"$unit","rows":$rows,"ts":"${java.time.Instant.now()}"$extra}""" + "\n"
+    // General checkpoint API: escape interpolated strings (a quote/backslash/
+    // control char in a unit name must not corrupt the ledger line or
+    // mis-parse under UnitRe on resume).
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val extra = metrics.map { case (k, v) => s""","${esc(k)}":$v""" }.mkString
+    val line = s"""{"unit":"${esc(unit)}","rows":$rows,"ts":"${java.time.Instant.now()}"$extra}""" + "\n"
     Files.write(file, line.getBytes(UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
