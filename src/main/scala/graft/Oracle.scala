@@ -88,6 +88,16 @@ object Oracle {
         |  FROM documents)
         |GROUP BY 1""".stripMargin,
 
+    "q_source_sink_counts" ->
+      """SELECT source, sink, count(*) AS n_rows FROM (
+        |  SELECT source, unnest(CASE WHEN n_chars > 450 THEN ['deadletter']
+        |    ELSE list_filter([
+        |      CASE WHEN source = 'src0' THEN 'printer' END,
+        |      CASE WHEN lang = 'en' OR source = 'src0' THEN 'runreveal' END,
+        |      's3'], x -> x IS NOT NULL) END) AS sink
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_fanin_union" ->
       """SELECT source, count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM (
         |  SELECT 'ui' AS source, user_id FROM events WHERE event_type IN ('click','view')

@@ -118,6 +118,14 @@ object Queries {
   def qSinkCounts(s: SparkSession, dir: String): DataFrame =
     qRouteExplode(s, dir).groupBy("sink").agg(count(lit(1)).as("n_rows"))
 
+  /** A2: per-SOURCE×sink accounting — the reference's source ids exist to
+    * be "referenced when logging or in metrics" (examples/config.json:6-7),
+    * so provenance keys the delivery counts too. */
+  def qSourceSinkCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), explode(docSinks).as("sink"))
+      .groupBy("source", "sink").agg(count(lit(1)).as("n_rows"))
+
   /** S7: fan-in union of two tagged sources + per-source accounting. */
   def qFaninUnion(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")

@@ -24,6 +24,7 @@ object SparkEntry {
     "q_enrich_broadcast" -> (Queries.qEnrichBroadcast _),
     "q_route_explode" -> (Queries.qRouteExplode _),
     "q_sink_counts" -> (Queries.qSinkCounts _),
+    "q_source_sink_counts" -> (Queries.qSourceSinkCounts _),
     "q_fanin_union" -> (Queries.qFaninUnion _),
     "q_deadletter" -> (Queries.qDeadletter _),
     "q_window_hourly" -> (Queries.qWindowHourly _),

@@ -1,0 +1,162 @@
+package pipeline.config
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import pipeline.Pipeline
+import pipeline.fixtures.{EventLog, Webtext}
+import pipeline.io.{Ledger, ParquetTableIO, Push}
+import pipeline.model.Sinks
+import pipeline.sources.{Bus, LineCodec, Sources}
+import pipeline.stages.{Aggregate, Route, RouteRule}
+
+/**
+ * Config-driven entry point: the reference's sole UX is
+ * `reveald run --config config.json` (`examples/reveald.service:8`,
+ * `examples/windows/README.md:177`). This compiles a [[PipelineSpec]] to the
+ * same stage chain the programmatic API uses:
+ *
+ *   sources (per-kind adapters, tagged with their config id) → fan-in →
+ *   parse/enrich → route (config rules, or reveald's actual default: every
+ *   event to EVERY destination) → per-kind sinks.
+ *
+ * Source kinds: `file`/`scanner`/`journald` (JSON-line decode; journald
+ * honors maxLineLenKB), `nginx_syslog`/`syslog` (envelope strip first),
+ * `eventlog` (XPath `query` compiled to a pushed Column predicate),
+ * `mqtt` (bus-message decode with topic subscription + metadata columns).
+ *
+ * Sink kinds: `s3`/`s3b` (partitioned table write; batchSize bounds file
+ * rows), `printer` (stdout sample), `runreveal`/`webhook`/`mqtt` (batched
+ * push via pipeline.io.Push with retry + deadletter).
+ */
+object ConfigRunner {
+
+  /** Normalize one configured source's raw frame to the doc shape, tagged
+    * with the config id (the reference uses source keys "when logging or in
+    * metrics", `examples/config.json:6-7`). */
+  def fromSource(src: SourceSpec, raw: DataFrame): DataFrame = {
+    val docs = src.kind match {
+      case "file" | "scanner" | "stdin" =>
+        LineCodec.decode(raw)
+      case "journald" =>
+        // maxLineLenKB caps the event payload at the source
+        // (`examples/journald_to_s3batch_config.json:5`)
+        src.maxLineLenKB.foldLeft(LineCodec.decode(raw))(
+          (d, kb) => Sources.truncate(d, kb, "text"))
+      case "nginx_syslog" | "syslog" =>
+        LineCodec.decode(Sources.stripSyslog(raw, "value"))
+      case "eventlog" =>
+        Sources.filtered(raw, XPathCompiler.compileOpt(src.query))
+          .select("url", "warc_ts", "html", "text", "lang")
+      case "mqtt" =>
+        Bus.decodeDocs(raw, src.topic)
+      case other =>
+        throw new IllegalArgumentException(s"unknown source type '$other' (source '${src.id}')")
+    }
+    docs.withColumn("source", lit(src.id))
+  }
+
+  /** Reveald's routing default: no routing block = every event is delivered
+    * to every configured destination (the daemon fans out, it does not
+    * select). A `routing` block (our extension) compiles via RuleCompiler. */
+  def rules(spec: PipelineSpec): Seq[RouteRule] =
+    if (spec.rules.nonEmpty) RuleCompiler.rules(spec)
+    else spec.sinks.map(d => RouteRule(lit(true), d.id))
+
+  /** Build the full routed frame from a spec + per-source raw inputs. */
+  def routed(spec: PipelineSpec, inputs: Map[String, DataFrame]): DataFrame = {
+    val srcs = spec.sources.map { s =>
+      val raw = inputs.getOrElse(s.id,
+        throw new IllegalArgumentException(s"no input bound for source '${s.id}'"))
+      fromSource(s, raw)
+    }
+    Pipeline.transform(Sources.fanIn(srcs), observed = false, rules = rules(spec))
+  }
+
+  /**
+   * Deliver the routed frame according to each sink's kind. ONE partitioned
+   * write materializes every sink's slice (the fused pattern — fan-out
+   * without recompute and without a full-table cache); per-sink counts are
+   * observed DURING that write. Push sinks then read back only their own
+   * `sink=` partition (partition-pruned scan — read amplification is the
+   * pushed slice, never the table). Returns exact per-sink delivered counts
+   * (== routed rows per sink).
+   */
+  def deliver(spec: PipelineSpec, routedDf: DataFrame, outDir: String,
+              transport: Push.Transport): Map[String, Long] = {
+    val spark = routedDf.sparkSession
+    val io = new ParquetTableIO(outDir)
+    val ledger = new Ledger(outDir)
+    val sinkIds = (spec.sinks.map(_.id) :+ Sinks.DeadLetter).distinct
+    val outCols = routedDf.columns.filterNot(_ == "html").map(col).toSeq
+    val obs = org.apache.spark.sql.Observation("config_sink_counts")
+    val counted = routedDf.select(outCols: _*)
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(Pipeline.Salts)))
+      .repartition(col("sink"), col("day"), col("salt"))
+      .drop("salt")
+      .observe(obs,
+        count(when(col("sink") === sinkIds.head, true)).as(sinkIds.head),
+        sinkIds.tail.map(s => count(when(col("sink") === s, true)).as(s)): _*)
+    val minBatch = spec.sinks.filter(d => d.kind == "s3" || d.kind == "s3b")
+      .flatMap(_.batchSize.map(_.toLong)).minOption.getOrElse(1000000L)
+    val schema = counted.schema
+    io.write(counted, "routed", Seq("sink", "day"), maxRecordsPerFile = minBatch)
+    val observed = obs.get
+    val counts = sinkIds.map(s => s -> observed(s).asInstanceOf[Long]).toMap
+
+    def slice(id: String): DataFrame =
+      spark.read.schema(new org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => f.name == "sink" || f.name == "day").toArray))
+        .parquet(s"${io.path("routed")}/sink=$id")
+
+    spec.sinks.foreach { d =>
+      d.kind match {
+        case "s3" | "s3b" => // the partition IS the delivery (columnar table)
+        case "printer" =>
+          // the reference's printer writes events to stdout; sample here
+          if (counts(d.id) > 0)
+            slice(d.id).select(to_json(struct(col("*")))).limit(5)
+              .collect().foreach(r => println(r.getString(0)))
+        case "runreveal" | "webhook" | "mqtt" =>
+          if (counts(d.id) > 0) {
+            val del = Push.deliver(slice(d.id), d.id,
+              d.batchSize.getOrElse(100), transport,
+              deadletterDir = s"$outDir/deadletter")
+            require(del.delivered + del.deadlettered == counts(d.id),
+              s"push delivery lost rows for ${d.id}: $del vs ${counts(d.id)}")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unknown sink type '$other' (sink '${d.id}')")
+      }
+      ledger.commit(s"config/sink=${d.id}", counts(d.id))
+    }
+    if (counts(Sinks.DeadLetter) > 0)
+      ledger.commit(s"config/sink=${Sinks.DeadLetter}", counts(Sinks.DeadLetter))
+    counts.filter(_._2 > 0)
+  }
+
+  /** CLI form: synthesize a deterministic fixture input for each configured
+    * source (the sandbox stand-in for live taps — same frames a shipper
+    * would emit) and run the spec end-to-end. */
+  def run(spark: SparkSession, cfgPath: String, conf: Map[String, String],
+          n: Long, cores: Int): Map[String, Long] = {
+    val spec = PipelineConfig.load(cfgPath)
+    val outDir = conf.getOrElse("--out", "/tmp/graft-config-out")
+    val inputs = spec.sources.map(s => s.id -> fixtureInput(spark, s, n, cores)).toMap
+    val r = routed(spec, inputs)
+    val counts = deliver(spec, r, outDir,
+      new Push.LocalFileTransport(s"$outDir/pushed"))
+    counts.map { case (k, v) => k -> v }
+  }
+
+  /** Deterministic raw frame in the wire shape each source kind consumes. */
+  def fixtureInput(spark: SparkSession, src: SourceSpec, n: Long,
+                   partitions: Int): DataFrame = src.kind match {
+    case "eventlog" => EventLog.df(spark, n, partitions, src.channel)
+    case "mqtt" => Bus.fixture(spark, n, src.topic.getOrElse("reveald/src"), partitions)
+    case "nginx_syslog" | "syslog" =>
+      LineCodec.encode(Webtext.df(spark, n, partitions))
+        .select(concat(lit("<190>Jan  1 00:00:01 web01 nginx: "), col("value")).as("value"))
+    case _ => LineCodec.encode(Webtext.df(spark, n, partitions))
+  }
+}

@@ -27,7 +27,12 @@ final case class SourceSpec(
     kind: String,
     path: Option[String] = None,
     maxLineLenKB: Option[Int] = None,
-    query: Option[String] = None)
+    query: Option[String] = None,
+    channel: Option[String] = None,
+    topic: Option[String] = None,
+    broker: Option[String] = None,
+    qos: Option[Int] = None,
+    retained: Option[Boolean] = None)
 
 final case class SinkSpec(
     id: String,
@@ -35,7 +40,9 @@ final case class SinkSpec(
     pathPrefix: Option[String] = None,
     batchSize: Option[Int] = None,
     flushFreq: Option[String] = None,
-    webhookUrl: Option[String] = None)
+    webhookUrl: Option[String] = None,
+    topic: Option[String] = None,
+    broker: Option[String] = None)
 
 /** A routing rule: `when` is a tiny predicate DSL over parsed-event fields
   * (`field op value`, ops: == != >= > <= <; conjunction with &&), compiled
@@ -78,21 +85,34 @@ object PipelineConfig {
         }.toSeq
       else node.properties().asScala.map(e => e.getKey -> e.getValue).toSeq
 
+    def bool(n: JsonNode, field: String): Option[Boolean] =
+      Option(n.get(field)).filterNot(_.isNull).map(_.asBoolean())
+
     val sources = entries(root.get("sources")).map { case (id, n) =>
       SourceSpec(id,
         kind = str(n, "type").getOrElse("file"),
         path = str(n, "path"),
         maxLineLenKB = int(n, "maxLineLenKB"),
-        query = str(n, "query"))
+        query = str(n, "query"),
+        channel = str(n, "channel"),
+        topic = str(n, "topic"),
+        broker = str(n, "broker"),
+        qos = int(n, "qos"),
+        retained = bool(n, "retained"))
     }
     val sinks = entries(root.get("destinations")).map { case (id, n) =>
+      // s3b nests its s3 block (`examples/journald_to_s3batch_config.json:13-19`)
+      val s3 = Option(n.get("s3"))
       SinkSpec(id,
         kind = str(n, "type").getOrElse(id),
-        pathPrefix = str(n, "pathPrefix").orElse(str(n, "prefix")),
+        pathPrefix = str(n, "pathPrefix").orElse(str(n, "prefix"))
+          .orElse(s3.flatMap(str(_, "pathPrefix"))),
         batchSize = int(n, "batchSize"),
         // both spellings, as in the reference
         flushFreq = str(n, "flushFreq").orElse(str(n, "flushFrequency")),
-        webhookUrl = str(n, "webhookURL"))
+        webhookUrl = str(n, "webhookURL"),
+        topic = str(n, "topic"),
+        broker = str(n, "broker"))
     }
     val rules = Option(root.get("routing")).map(_.elements().asScala.map { n =>
       RuleSpec(

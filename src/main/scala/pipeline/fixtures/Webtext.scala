@@ -41,6 +41,11 @@ object Webtext {
     v & Long.MaxValue
   }
 
+  /** Public draw for sibling fixtures (EventLog metadata etc.) so every
+    * fixture shares the one RNG stream. Draw slots 60+ are reserved for
+    * non-Webtext fixtures. */
+  def drawK(i: Long, k: Int): Long = draw(i, k)
+
   val HotDomain = "hot.example.com"
   val Domains: IndexedSeq[String] =
     HotDomain +: (1 to 49).map(k => f"site$k%02d.example.org")

@@ -1,0 +1,108 @@
+package pipeline.io
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * D3/D4: push-delivery sinks (the reference's runreveal webhook and mqtt
+ * destinations, `examples/config.json:27-36`, `examples/mqtt_config.json:17-31`).
+ *
+ * Semantics mirrored from the reference's destination contract:
+ *  - events are delivered in batches of `batchSize` (the count bound;
+ *    `flushFreq` is the TIME bound, which only binds in streaming — see
+ *    pipeline.Streaming's trigger; a batch job is one flush by definition);
+ *  - a failed batch retries `maxRetries` times with backoff, then diverts
+ *    to the deadletter directory — delivery is at-least-once, never silent
+ *    loss (kawa's flush→ack cycle);
+ *  - delivery runs per PARTITION on executors (`foreachPartition`), so push
+ *    throughput scales with the cluster, and per-batch acknowledgements are
+ *    counted with accumulators (no read-back pass).
+ *
+ * The wire call is behind [[Transport]]: the sandbox has zero egress, so the
+ * default transport lands each batch as one local file (same durability
+ * contract as a 200-OK webhook). An HTTP/MQTT client binds the same seam on
+ * a real deployment.
+ */
+object Push {
+
+  /** One delivery attempt of one batch. Throw to signal failure. */
+  trait Transport extends Serializable {
+    def send(sinkId: String, batchIndex: Long, lines: Seq[String]): Unit
+  }
+
+  /** Batch → one durable local file (atomic rename), the egress-free
+    * stand-in for a webhook POST / mqtt publish. */
+  final class LocalFileTransport(dir: String) extends Transport {
+    override def send(sinkId: String, batchIndex: Long, lines: Seq[String]): Unit = {
+      val d = Paths.get(dir, sinkId)
+      Files.createDirectories(d)
+      val tmp = d.resolve(s".batch-$batchIndex.tmp")
+      Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, d.resolve(f"batch-$batchIndex%08d.jsonl"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Transport that fails the first `failures` attempts — retry testing. */
+  final class FlakyTransport(inner: Transport, failures: Int) extends Transport {
+    override def send(sinkId: String, batchIndex: Long, lines: Seq[String]): Unit = {
+      if (FlakyTransport.counter.incrementAndGet() <= failures)
+        throw new RuntimeException(s"injected transport failure")
+      inner.send(sinkId, batchIndex, lines)
+    }
+  }
+  object FlakyTransport {
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+  }
+
+  final case class Delivery(delivered: Long, deadlettered: Long, batches: Long)
+
+  /**
+   * Deliver `df`'s rows (JSON-encoded) to `transport` in batches of
+   * `batchSize`. Batch ids are (partitionId << 20 | seq) so concurrent
+   * partitions never collide. Returns exact counts via accumulators.
+   */
+  def deliver(df: DataFrame, sinkId: String, batchSize: Int,
+              transport: Transport, deadletterDir: String,
+              maxRetries: Int = 3): Delivery = {
+    require(batchSize > 0, "batchSize must be positive")
+    val spark = df.sparkSession
+    val delivered = spark.sparkContext.longAccumulator(s"push_${sinkId}_delivered")
+    val dead = spark.sparkContext.longAccumulator(s"push_${sinkId}_deadletter")
+    val batches = spark.sparkContext.longAccumulator(s"push_${sinkId}_batches")
+    val lines = df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("line"))
+    lines.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var seq = 0L
+      it.map(_.getString(0)).grouped(batchSize).foreach { batch =>
+        val batchId = (pid << 20) | seq
+        seq += 1
+        var attempt = 0
+        var done = false
+        while (!done && attempt <= maxRetries) {
+          try {
+            transport.send(sinkId, batchId, batch)
+            done = true
+            delivered.add(batch.size)
+            batches.add(1)
+          } catch {
+            case _: Exception if attempt < maxRetries =>
+              attempt += 1
+              Thread.sleep(math.min(1000L, 10L << attempt)) // capped backoff
+            case _: Exception =>
+              // final failure: divert the whole batch to deadletter, never drop
+              new LocalFileTransport(deadletterDir)
+                .send(s"$sinkId-deadletter", batchId, batch)
+              dead.add(batch.size)
+              done = true
+          }
+        }
+      }
+    }
+    Delivery(delivered.value, dead.value, batches.value)
+  }
+}

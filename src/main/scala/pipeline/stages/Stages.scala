@@ -160,9 +160,15 @@ object Aggregate {
   def sinkCounts(routed: DataFrame): DataFrame =
     routed.groupBy("sink").agg(count(lit(1)).as("n_rows"))
 
+  /** Per-source delivery accounting: the reference's source ids exist to be
+    * "referenced when logging or in metrics" (`examples/config.json:6-7`),
+    * so counts key on provenance too. */
+  def sourceSinkCounts(routed: DataFrame): DataFrame =
+    routed.groupBy("source", "sink").agg(count(lit(1)).as("n_rows"))
+
   /** Per-source×sink×day rollup for the metrics surface (SURVEY.md §2.4 A2). */
   def accounting(routed: DataFrame): DataFrame =
-    routed.groupBy("sink", "day")
+    routed.groupBy("source", "sink", "day")
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("is_corrupt"), 1L).otherwise(0L)).as("n_corrupt"),

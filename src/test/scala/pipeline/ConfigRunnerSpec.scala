@@ -1,0 +1,183 @@
+package pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import pipeline.config.{ConfigRunner, PipelineConfig, XPathCompiler}
+import pipeline.fixtures.{EventLog, Webtext}
+import pipeline.io.Push
+import pipeline.ref.RefNormalizer
+import pipeline.stages.Aggregate
+
+/**
+ * Golden tests: every reference example config runs END-TO-END through
+ * PipelineConfig → ConfigRunner (sources → parse/enrich/route → sinks), and
+ * per-(source,sink) counts match the single-threaded RefNormalizer
+ * expectation exactly. Reveald's routing semantic: every event reaches
+ * every destination; corrupt events divert to deadletter.
+ */
+class ConfigRunnerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, 4, "config-runner-spec")
+  private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
+
+  private val RefDir = "/root/reference/examples"
+  val N = 400L
+
+  /** Driver-side expectation: docs per source (eventlog channels subset the
+    * fixture), corrupt → deadletter, else → every destination. */
+  private def expected(spec: pipeline.config.PipelineSpec): Map[(String, String), Long] = {
+    val m = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    spec.sources.foreach { s =>
+      (0L until N).foreach { i =>
+        val inChannel = s.kind != "eventlog" ||
+          s.channel.forall(_ == EventLog.channelOf(i))
+        if (inChannel) {
+          val corrupt = RefNormalizer.parse(Webtext.row(i)).is_corrupt
+          if (corrupt) m((s.id, "deadletter")) += 1
+          else spec.sinks.foreach(d => m((s.id, d.id)) += 1)
+        }
+      }
+    }
+    m.toMap
+  }
+
+  private def runConfig(cfgFile: String, env: Map[String, String] = Map.empty): Unit = {
+    val s = sc
+    val spec = PipelineConfig.load(s"$RefDir/$cfgFile", env)
+    assert(spec.sources.nonEmpty && spec.sinks.nonEmpty, s"$cfgFile parsed empty")
+    val inputs = spec.sources.map(src =>
+      src.id -> ConfigRunner.fixtureInput(s, src, N, 4)).toMap
+    val routed = ConfigRunner.routed(spec, inputs)
+
+    val got = Aggregate.sourceSinkCounts(routed).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exp = expected(spec)
+    assert(got == exp.filter(_._2 > 0), s"$cfgFile: got=$got exp=$exp")
+
+    val out = Files.createTempDirectory(
+      "cfg-" + cfgFile.takeWhile(_ != '.').replace('/', '_')).toString
+    val counts = ConfigRunner.deliver(spec, routed, out,
+      new Push.LocalFileTransport(s"$out/pushed"))
+    val expPerSink = exp.groupBy(_._1._2).view.mapValues(_.values.sum)
+      .filter(_._2 > 0).toMap
+    assert(counts == expPerSink, s"$cfgFile deliver: $counts vs $expPerSink")
+  }
+
+  test("examples/config.json runs end-to-end (file + journald → s3 + webhook)") {
+    runConfig("config.json")
+  }
+
+  test("examples/mqtt_config.json runs end-to-end (mqtt → mqtt + printer)") {
+    runConfig("mqtt_config.json")
+  }
+
+  test("examples/windows/config_windows.json runs end-to-end (5 eventlog channels)") {
+    runConfig("windows/config_windows.json")
+  }
+
+  test("examples/journald_to_s3batch_config.json honors maxLineLenKB + s3b nesting") {
+    val s = sc
+    val spec = PipelineConfig.load(s"$RefDir/journald_to_s3batch_config.json")
+    assert(spec.sources.head.maxLineLenKB.contains(200))
+    assert(spec.sinks.head.kind == "s3b" &&
+      spec.sinks.head.pathPrefix.contains("logs") &&
+      spec.sinks.head.batchSize.contains(100))
+    runConfig("journald_to_s3batch_config.json")
+  }
+
+  test("examples/stdin_to_s3_config.json runs end-to-end (scanner → s3)") {
+    runConfig("stdin_to_s3_config.json")
+  }
+
+  test("push sink batches respect batchSize, retry, and deadletter diversion") {
+    val s = sc
+    val docs = Webtext.df(s, 300, 4)
+    val out = Files.createTempDirectory("push-test").toString
+    Push.FlakyTransport.counter.set(0)
+    val flaky = new Push.FlakyTransport(new Push.LocalFileTransport(s"$out/pushed"), 2)
+    val del = Push.deliver(docs.select("url", "lang"), "hook", 50, flaky,
+      deadletterDir = s"$out/dead")
+    assert(del.delivered == 300 && del.deadlettered == 0, s"$del")
+    val files = new java.io.File(s"$out/pushed/hook").listFiles()
+    assert(files.nonEmpty)
+    val lineCounts = files.map(f =>
+      scala.io.Source.fromFile(f).getLines().size)
+    assert(lineCounts.sum == 300 && lineCounts.forall(_ <= 50))
+
+    // a transport that never succeeds → whole batches divert to deadletter
+    Push.FlakyTransport.counter.set(0)
+    val broken = new Push.FlakyTransport(new Push.LocalFileTransport(s"$out/p2"), Int.MaxValue)
+    val del2 = Push.deliver(docs.select("url"), "hook2", 50, broken,
+      deadletterDir = s"$out/dead", maxRetries = 1)
+    assert(del2.delivered == 0 && del2.deadlettered == 300)
+    assert(new java.io.File(s"$out/dead/hook2-deadletter").listFiles().nonEmpty)
+  }
+
+  test("mqtt source carries bus metadata columns through decode") {
+    val s = sc
+    val msgs = pipeline.sources.Bus.fixture(s, 100, "reveald/src", 4)
+    val docs = pipeline.sources.Bus.decodeDocs(msgs, Some("reveald/src"))
+    assert(docs.count() == 100)
+    assert(docs.columns.toSet.intersect(Set("bus_topic", "bus_qos", "bus_retained")).size == 3)
+    assert(docs.filter(col("bus_topic") === "reveald/src" && col("bus_qos") === 1).count() == 100)
+    // off-topic messages are not consumed
+    assert(pipeline.sources.Bus.decodeDocs(msgs, Some("other/topic")).count() == 0)
+    // decoded docs are byte-identical to the originals
+    val orig = Webtext.df(s, 100, 4).select("url", "text")
+    assert(docs.select("url", "text").exceptAll(orig).isEmpty)
+  }
+}
+
+/** XPath-subset compiler: semantics vs driver-side reference + pushdown. */
+class XPathCompilerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, 4, "xpath-spec")
+  private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
+
+  val N = 500L
+
+  private def refCount(p: Long => Boolean): Long =
+    (0L until N).count(p).toLong
+
+  test("the README's documented query compiles and matches the reference") {
+    val s = sc
+    val docs = EventLog.df(s, N, 4)
+    // `examples/windows/README.md:165-170`
+    val q = "*[EventData[Data[@Name='LogonType']='2'] and System[(EventID=4624)]]"
+    val got = docs.filter(XPathCompiler.compile(q)).count()
+    val exp = refCount(i => EventLog.logonType(i) == 2 && EventLog.eventId(i) == 4624)
+    assert(got == exp && exp > 0, s"got=$got exp=$exp")
+  }
+
+  test("'*' and empty compile to always-true; or/comparison forms work") {
+    val s = sc
+    val docs = EventLog.df(s, N, 4)
+    assert(docs.filter(XPathCompiler.compile("*")).count() == N)
+    assert(XPathCompiler.compileOpt(Some("*")).isEmpty)
+    assert(XPathCompiler.compileOpt(None).isEmpty)
+    val got = docs.filter(XPathCompiler.compile(
+      "*[System[EventID=4624 or EventID=4625] or EventData[Data[@Name='LogonType']!='0']]")).count()
+    val exp = refCount(i => EventLog.eventId(i) == 4624 || EventLog.eventId(i) == 4625 ||
+      EventLog.logonType(i) != 0)
+    assert(got == exp)
+    val lt = docs.filter(XPathCompiler.compile("*[System[Level<=2]]")).count()
+    assert(lt == refCount(i => EventLog.level(i) <= 2))
+    intercept[IllegalArgumentException](XPathCompiler.compile("*[Bogus[x=1]]"))
+  }
+
+  test("System[...] predicates push down to the parquet scan") {
+    val s = sc
+    val dir = Files.createTempDirectory("eventlog-pq").toString
+    EventLog.df(s, N, 4).write.mode("overwrite").parquet(dir)
+    val df = s.read.parquet(dir)
+      .filter(XPathCompiler.compile("*[System[(EventID=4624)]]"))
+      .select("url")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("system.EventID"),
+      s"EventID predicate not pushed:\n$plan")
+  }
+}

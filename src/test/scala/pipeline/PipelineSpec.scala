@@ -149,11 +149,11 @@ class PipelineSpec extends AnyFunSuite {
     val crashDir = Files.createTempDirectory("graft-crash").toString
     val clean = Pipeline.runIncremental(s, docs, cleanDir)
     assert(clean.size >= 2, s"need multiple day units, got $clean")
-    // crash after the first unit...
+    // crash after the first day unit (staging is its own ledger unit)...
     intercept[RuntimeException] {
       Pipeline.runIncremental(s, docs, crashDir, failAfterUnits = 1)
     }
-    val partial = new pipeline.io.Ledger(crashDir).committedUnits()
+    val partial = new pipeline.io.Ledger(crashDir).committedUnits() - Pipeline.StageUnit
     assert(partial.size == 1)
     // ...resume: must complete the rest and match the clean run exactly
     val resumed = Pipeline.runIncremental(s, docs, crashDir)
@@ -165,13 +165,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("fused run: written files match ref counts; ledger records them") {
+  test("fused run: observed counts match ref AND the written files (audit)") {
     val s = sc
     val out = Files.createTempDirectory("graft-fused").toString
-    val counts = Pipeline.runFused(s, Webtext.df(s, 2000, 4), out)
+    // audit = true re-reads the written output and cross-checks the
+    // observe()-derived counts — both gates in one run
+    val counts = Pipeline.runFused(s, Webtext.df(s, 2000, 4), out, audit = true)
     val ref = RefNormalizer.routedCounts((0L until 2000L).iterator.map(Webtext.row))
     assert(counts == ref)
     val ledger = new pipeline.io.Ledger(out).committedRows()
     assert(ledger.values.sum == ref.values.sum)
+  }
+
+  test("per-source accounting: tagged fan-in counts match ref per (source, sink)") {
+    val s = sc
+    val a = Webtext.df(s, 1000, 4).withColumn("source", lit("src_a"))
+    val b = Webtext.df(s, 500, 4).withColumn("source", lit("src_b"))
+    val routed = Pipeline.transform(pipeline.sources.Sources.fanIn(Seq(a, b)))
+    val got = pipeline.stages.Aggregate.sourceSinkCounts(routed).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val refA = RefNormalizer.routedCounts((0L until 1000L).iterator.map(Webtext.row))
+      .map { case (k, v) => ("src_a", k) -> v }
+    val refB = RefNormalizer.routedCounts((0L until 500L).iterator.map(Webtext.row))
+      .map { case (k, v) => ("src_b", k) -> v }
+    assert(got == refA ++ refB, s"got=$got")
+    // untagged input gets the default provenance, never a null group
+    val untagged = Pipeline.transform(Webtext.df(s, 200, 2))
+    assert(pipeline.stages.Aggregate.sourceSinkCounts(untagged)
+      .select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("webtext"))
+  }
+
+  test("incremental day units scan ONLY their own partition") {
+    val s = sc
+    val out = Files.createTempDirectory("graft-prune").toString
+    Pipeline.runIncremental(s, Webtext.df(s, 3000, 4), out)
+    val days = new java.io.File(s"$out/staging").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=")).map(_.getName)
+    assert(days.length >= 2)
+    // the unit read pattern: a day's frame lists only its partition's files
+    val d = days.head
+    val unit = s.read.parquet(s"$out/staging/$d")
+    assert(unit.inputFiles.nonEmpty && unit.inputFiles.forall(_.contains(s"/$d/")),
+      s"unit reads outside its partition: ${unit.inputFiles.take(3).mkString(",")}")
+    // and a root read with a day filter partition-prunes to the same files
+    val pruned = s.read.parquet(s"$out/staging")
+      .filter(col("day") === d.stripPrefix("day="))
+    assert(pruned.count() == unit.count())
   }
 }
