@@ -12,6 +12,15 @@ object Oracle {
   private val H32 = "CAST('0x'||substr(md5(%s),1,8) AS BIGINT)"
   private def h32(e: String) = H32.format(e)
 
+  /** Portable cosine: sequential double fold == Spark CosineSimExpr. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x+y)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (x,y) -> x+y))
+       |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x+y)))""".stripMargin
+
   private val shinglesSql =
     """CASE WHEN len(w) >= 3
       | THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
@@ -247,6 +256,45 @@ object Oracle {
         |          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM embeddings)
         |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec FROM b GROUP BY 1""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |cellscore AS (
+        |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cvec")} AS ccos
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+        |  FROM cellscore),
+        |corpus AS (SELECT e.vec_id AS cid, e.embedding AS cv, r.cell
+        |  FROM embeddings e JOIN ranked r ON r.vec_id = e.vec_id AND r.r = 1),
+        |queries AS (SELECT e.vec_id AS qid, e.embedding AS qv, r.cell
+        |  FROM embeddings e JOIN ranked r ON r.vec_id = e.vec_id AND r.r <= 3
+        |  WHERE e.vec_id < 10),
+        |scored AS (SELECT qid, cid, ${cosSql("qv", "cv")} AS cos
+        |  FROM queries JOIN corpus USING (cell) WHERE qid <> cid),
+        |rq AS (SELECT qid, cid, cos,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT qid, cid, cos, rnk FROM rq WHERE rnk <= 5""".stripMargin,
+
+    "q_dedup_embed_lsh" ->
+      s"""WITH tb AS (SELECT unnest([0, 1, 2]) AS tbl),
+        |b AS (
+        |  SELECT e.vec_id, tb.tbl,
+        |   CAST(list_sum(list_transform(range(0, 4), pp ->
+        |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |       i -> CAST(e.embedding[i] AS DOUBLE) *
+        |            CAST((${h32("(tb.tbl*4+pp)||':'||(i-1)")} % 2)*2 - 1 AS DOUBLE))), (x,y) -> x+y) > 0
+        |          THEN (CAST(1 AS BIGINT) << pp) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN tb),
+        |pairs AS (
+        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        |scored AS (
+        |  SELECT a, b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+        |  FROM pairs JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b)
+        |SELECT a, b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
 
     "q_parse_syslog" ->
       """SELECT doc_id,

@@ -243,12 +243,24 @@ object Queries {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
 
-  /** IVF-style ANN (k-means cells) — model-dependent, rows-only check. */
+  /** IVF ANN with FIXED centroids (the first 8 embeddings) so the result is
+    * fully deterministic and oracle-checkable — the k-means-trained form
+    * (Similarity.ivfTopK) shares every plan shape after centroid fit.
+    * Collecting 8 centroid rows to the driver is the broadcast pattern. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, nCells = 8, nProbe = 3)
+    val cents: Seq[Seq[Float]] = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+    Similarity.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nProbe = 3, cents)
+      .select(col("qid"), col("cid"), col("cos"), col("rank").cast("long").as("rnk"))
   }
+
+  /** Embedding near-dup pairs, LSH-gated (the production form of
+    * q_dedup_embed — bucket equijoin instead of the all-pairs BNLJ). */
+  def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embedNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, planes = 4, dim = 64, tables = 3)
 
   /** S3: syslog envelope strip, demonstrated end-to-end (envelope is
     * constructed deterministically so DuckDB can mirror it). */

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_ngram" -> (Queries.qDedupNgram _),
     "q_dedup_embed" -> (Queries.qDedupEmbed _),
+    "q_dedup_embed_lsh" -> (Queries.qDedupEmbedLsh _),
     "q_ann_cosine" -> (Queries.qAnnCosine _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),

@@ -54,15 +54,25 @@ object Dedup {
                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
     // fast native expression (pipeline.expr); returns null when no shingles —
-    // same surviving set as the HOF all-null-signature filter (parity-tested)
+    // same surviving set as the HOF all-null-signature filter (parity-tested).
+    // The repartition is a MATERIALIZATION BARRIER, not a distribution need:
+    // signature computation (one md5 per shingle) dominates this operator,
+    // and without a barrier Catalyst re-inlines the expression into the
+    // filter, the band projection, and BOTH self-join sides (4 evaluations,
+    // r1 PLANS.md). Below one exchange it evaluates exactly once, and the
+    // self-join's two sides share it as a ReusedExchange. Shuffled rows are
+    // narrow: id + numHashes longs.
     val sig = df.select(col(idCol).as("id"),
       pipeline.expr.PortableExprs.minhashSig(col(textCol), nGram, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
-    // one row per (id, band): bucket key = md5 of the band's slice
+      .repartition(col("id"))
+    // one row per (id, band): bucket key = md5 of the band's slice. No-shingle
+    // rows (null sig) drop STRUCTURALLY: the band array is null for them and
+    // posexplode generates zero rows — an isNotNull filter here would be
+    // predicate-pushed below the exchange and re-evaluate the signature.
     val banded = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
+      when(col("sig").isNotNull, transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-          .cast("binary")))).as(Seq("band", "bkey")))
+          .cast("binary"))))).as(Seq("band", "bkey")))
     // scale guard: a bucket of k ids yields k(k-1)/2 pairs — low-entropy
     // corpora (or adversarial keys) can blow the self-join up quadratically.
     // Buckets above maxBucketSize are dropped (standard LSH practice; the
@@ -106,6 +116,39 @@ object Dedup {
       pipeline.expr.PortableExprs.simhash(col(textCol), bits).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"))
+
+  /**
+   * Embedding-cosine near-duplicate pairs, LSH-gated — the PRODUCTION form
+   * (the all-pairs `a.join(b, a<b)` variant is an O(N²)
+   * BroadcastNestedLoopJoin, kept only as a small-scale oracle fixture in
+   * graft.Queries). Here: hyperplane signatures bucket the corpus narrowly
+   * (one pass computes all `tables` OR-construction buckets), candidate
+   * pairs come from a bucket equijoin and are deduplicated as BARE ID PAIRS
+   * (16 bytes/row — vectors never ride the distinct shuffle), then vectors
+   * attach to the surviving candidates only for the exact cosine ≥ τ check.
+   * Recall is the standard OR bound: 1 − (1 − p^planes)^tables.
+   */
+  def embedNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, planes: Int, dim: Int,
+                      tables: Int = 1): DataFrame = {
+    // barrier: one signature pass feeds both self-join sides (ReusedExchange)
+    val sigged = df.select(col(idCol).as("id"), posexplode(array(
+        (0 until tables).map(t => pipeline.expr.PortableExprs
+          .hyperplaneSig(col(vecCol), planes, dim, planeOffset = t * planes)): _*))
+        .as(Seq("table", "bucket")))
+      .repartition(col("id"))
+    val pairs = sigged.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(sigged.select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct() // OR across tables; ids only
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    pairs.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("cos", pipeline.expr.PortableExprs.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
 
   /**
    * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,

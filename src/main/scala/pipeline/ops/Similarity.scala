@@ -1,6 +1,6 @@
 package pipeline.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,9 +71,17 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("table"), col("bucket"))
     val q = broadcast(sigs(queries, idCol, vecCol)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("table"), col("bucket")))
-    val scored = q.join(c, Seq("table", "bucket"))
-      .filter(col("qid") =!= col("cid"))
-      .select("qid", "qv", "cid", "cv").distinct() // OR across tables
+    // tables == 1: one bucket per doc → (qid, cid) already unique, vectors
+    // stay in hand. tables > 1: dedup candidates as BARE ID PAIRS (the OR
+    // step) so float vectors never ride the distinct shuffle, then re-attach
+    // qv from the broadcast query set and cv from the corpus.
+    val matched = q.join(c, Seq("table", "bucket")).filter(col("qid") =!= col("cid"))
+    val withVecs =
+      if (tables == 1) matched.select("qid", "qv", "cid", "cv")
+      else matched.select("qid", "cid").distinct()
+        .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), Seq("qid"))
+        .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
+    val scored = withVecs
       .withColumn("cos", pipeline.expr.PortableExprs.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -82,45 +90,54 @@ object Similarity {
   }
 
   /**
-   * IVF-style ANN with Spark ML k-means centroids: assign corpus rows to
-   * their nearest centroid once (narrow after a small broadcast of
-   * centroids), probe `nProbe` cells per query. Returns exact cosine
-   * top-k within probed cells.
+   * IVF-style ANN over EXPLICIT centroids: cell assignment is one narrow
+   * per-row pass — the centroid list rides the plan as a literal (Spark
+   * ships it with the serialized task closure, the broadcast-variable role),
+   * each row scores all cells in place and keeps its top-n. No
+   * monotonically_increasing_id, no crossJoin, no window — the r1 version
+   * shuffled and sorted corpus×nCells rows keyed by a per-row unique id to
+   * compute what is a per-row argmin (flagged as a scale-killer).
+   * Returns exact cosine top-k within the `nProbe` probed cells per query.
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int, nProbe: Int,
-              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    val train = corpus.select(array_to_vector(
-      col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5).fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.map(_.toFloat))
-    }
-    import spark.implicits._
-    val cents = broadcast(centroids.toSeq.toDF("cell", "centroid"))
-    def nearestCells(v: String, n: Int) = {
-      // rank cells by cosine to the row's vector; keep n
-      val w = Window.partitionBy(col("_rid")).orderBy(col("_ccos").desc, col("cell").asc)
-      (df: DataFrame) => df
-        .withColumn("_rid", monotonically_increasing_id())
-        .crossJoin(cents)
-        .withColumn("_ccos", pipeline.expr.PortableExprs.cosine(col(v), col("centroid")))
-        .withColumn("_crank", row_number().over(w))
-        .filter(col("_crank") <= n)
-        .drop("centroid", "_ccos", "_crank", "_rid")
-    }
-    val c = nearestCells("cv", 1)(
-      corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    val q = nearestCells("qv", nProbe)(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int, nProbe: Int,
+                           centroids: Seq[Seq[Float]]): DataFrame = {
+    val nCells = centroids.size
+    val centLit = typedLit(centroids)
+    // cells ranked per row: sort struct(-cos, cell) ascending ≡ cos desc,
+    // cell asc — deterministic ties, identical on the SQL-oracle side
+    def rankedCells(v: Column): Column =
+      array_sort(transform(sequence(lit(0), lit(nCells - 1)),
+        i => struct(
+          (-pipeline.expr.PortableExprs.cosine(v, get(centLit, i))).as("neg"),
+          i.cast("int").as("cell"))))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cell", get(rankedCells(col("cv")), lit(0)).getField("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(transform(slice(rankedCells(col("qv")), 1, nProbe),
+          s => s.getField("cell"))))
+    // a corpus row lives in exactly ONE cell and probe cells are distinct,
+    // so (qid, cid) pairs are unique — no dedup pass needed
+    val scored = broadcast(q).join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
       .withColumn("cos", pipeline.expr.PortableExprs.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "cid", "cos", "rank")
+  }
+
+  /** IVF with Spark ML k-means training for the centroids (model-dependent;
+    * pass explicit centroids for oracle-checkable determinism). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int, nProbe: Int,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(
+      col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, nProbe, centroids)
   }
 }

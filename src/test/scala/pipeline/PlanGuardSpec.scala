@@ -13,6 +13,15 @@ class PlanGuardSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Sessions.local(4, 4, "plan-guard")
   private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
 
+  /** The ADAPTIVE FINAL plan only — `executedPlan.toString` under AQE also
+    * prints the "== Initial Plan ==" section, which double-counts operators
+    * that reuse/prune away at runtime. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut < 0) s else s.substring(0, cut)
+  }
+
   private def webtextOnDisk(n: Long): org.apache.spark.sql.DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("plan-guard").toString
     Webtext.df(sc, n, 4).write.mode("overwrite").parquet(dir)
@@ -46,6 +55,64 @@ class PlanGuardSpec extends AnyFunSuite {
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(warc_ts"),
       s"day predicate not pushed as warc_ts range:\n$scan")
+  }
+
+  test("minhash LSH computes the signature exactly once (ReusedExchange)") {
+    val s = sc
+    val dir = java.nio.file.Files.createTempDirectory("mh-plan").toString
+    Webtext.df(s, 500, 4).select("url", "text")
+      .withColumn("doc_id", xxhash64(col("url")))
+      .write.mode("overwrite").parquet(dir)
+    val df = pipeline.ops.Dedup.minhashLsh(s.read.parquet(dir), "doc_id", "text")
+    df.collect() // finalize the adaptive plan so ReusedExchange materializes
+    val plan = finalPlan(df)
+    val evals = "minhashsigexpr".r.findAllIn(plan.toLowerCase).size
+    assert(evals == 1, s"signature computed $evals times (want 1):\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      plan.contains("TableCacheQueryStage"),
+      s"self-join sides must share the signature exchange:\n$plan")
+  }
+
+  test("IVF cell assignment is narrow: no cross join, no per-row-id window") {
+    val s = sc
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-plan").toString
+    (0 until 200).map(i => (i.toLong, Array.tabulate(8)(d => (i * d % 7).toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val emb = s.read.parquet(dir)
+    val cents = (0 until 4).map(c => Seq.tabulate(8)(d => (c + d).toFloat))
+    val df = pipeline.ops.Similarity.ivfTopKWithCentroids(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nProbe = 2, cents)
+    df.collect()
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"cell assignment must not cross-join:\n$plan")
+    assert(!plan.contains("monotonically_increasing_id"),
+      s"no per-row unique-id windowing:\n$plan")
+    // the only Window machinery is the final per-query top-k (rank window +
+    // its WindowGroupLimit partial pushdown)
+    assert("WindowExec|WindowGroupLimit|Window ".r.findAllIn(plan).size <= 3,
+      s"unexpected windows:\n$plan")
+  }
+
+  test("embedding LSH dedup: vectors never ride the pair-dedup shuffle") {
+    val s = sc
+    val dir = java.nio.file.Files.createTempDirectory("emblsh-plan").toString
+    import s.implicits._
+    (0 until 300).map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.1 + d).toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val emb = s.read.parquet(dir)
+    val df = pipeline.ops.Dedup.embedNearDupLsh(
+      emb, "vec_id", "embedding", threshold = 0.2, planes = 3, dim = 8, tables = 2)
+    df.collect()
+    val plan = finalPlan(df)
+    // the distinct aggregate must key/carry bare ids, not embedding arrays
+    val distinctLines = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("keys=[a#")).toList
+    assert(distinctLines.nonEmpty && distinctLines.forall(!_.contains("embedding")),
+      s"embedding column inside the dedup aggregate:\n$plan")
+    val sigEvals = "hyperplanesigexpr".r.findAllIn(plan.toLowerCase).size
+    assert(sigEvals == 2, s"bucket signatures computed ${sigEvals}x (want tables=2):\n$plan")
   }
 
   test("SQL surface: registered graft_* functions match the Column API") {
