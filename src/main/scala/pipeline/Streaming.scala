@@ -38,15 +38,22 @@ object Streaming {
    * batcher flush (`examples/journald_to_s3batch_config.json:11-12`).
    */
   def start(spark: SparkSession, landingDir: String, outDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startDocs(readWebtext(spark, landingDir), outDir, trigger)
+
+  /** The shared routed-write stream over ANY doc-shaped stream (file tap,
+    * bus tap, socket dev source): per micro-batch, the batch stage chain +
+    * a partitioned write + a ledger commit. */
+  def startDocs(docStream: DataFrame, outDir: String,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val ledger = new io.Ledger(outDir)
-    readWebtext(spark, landingDir).writeStream
+    docStream.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val routed = Pipeline.transform(batch)
-          .select(col("url"), col("warc_ts"), col("lang"), col("host"),
-            col("title"), col("status"), col("extracted_text"),
+          .select(col("url"), col("warc_ts"), col("lang"), col("source"),
+            col("host"), col("title"), col("status"), col("extracted_text"),
             col("is_corrupt"), col("sink"), col("day"))
         routed.persist()
         try {
@@ -60,6 +67,32 @@ object Streaming {
         ()
       }
       .start()
+  }
+
+  /**
+   * S5 streaming form: a stream of bus messages in pipeline.sources.Bus
+   * .message shape — Kafka's source columns plus the mqtt qos/retained
+   * fields (`examples/mqtt_config.json:5-15`). In the sandbox the tap is a
+   * landing directory of message files; on a real cluster the SAME chain
+   * binds `spark.readStream.format("kafka").option("subscribe", topic)` —
+   * every transform downstream of the tap is shared, so the broker swap
+   * touches one line.
+   */
+  def readBus(spark: SparkSession, landingDir: String,
+              maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(pipeline.sources.Bus.message)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+
+  /** Bus tap → doc decode (topic subscription + metadata columns, the
+    * config id as provenance) → the shared routed-write stream. */
+  def startBus(spark: SparkSession, landingDir: String, outDir: String,
+               topic: Option[String], sourceId: String = "mqtt",
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val docs = pipeline.sources.Bus.decodeDocs(readBus(spark, landingDir), topic)
+      .withColumn("source", lit(sourceId))
+    startDocs(docs, outDir, trigger)
   }
 
   /**

@@ -2,7 +2,6 @@ package pipeline.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,15 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class ParseEventExpr(left: Expression, right: Expression,
                           maxLineLenKB: Int = 200)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ParseEventExpr.schema
   override def nullable: Boolean = false
   // left = url, right = text
 
-  override def eval(input: InternalRow): Any = {
-    val urlAny = left.eval(input)
-    val textAny = right.eval(input)
+  /** Whole computation from child VALUES (null-tolerant) — shared by the
+    * interpreted eval and the generated code. Public for codegen. */
+  def compute(urlAny: Any, textAny: Any): InternalRow = {
     val url = if (urlAny == null) "" else urlAny.toString
     textAny match {
       case t: UTF8String if t.numBytes() <= maxLineLenKB * 1024 =>
@@ -48,6 +47,32 @@ case class ParseEventExpr(left: Expression, right: Expression,
       case null =>
         ParseEventExpr.parse(url, "", maxLineLenKB)
     }
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(left.eval(input), right.eval(input))
+
+  /** Real codegen (not CodegenFallback): the surrounding operators stay in
+    * whole-stage codegen and the call receives the children's generated
+    * VALUES — no per-call InternalRow materialization + re-eval. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("parseEventExpr", this, classOf[ParseEventExpr].getName)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val row = classOf[InternalRow].getName
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        final $row ${ev.value} = $ref.compute(
+          ${l.isNull} ? null : ${l.value},
+          ${r.isNull} ? null : ${r.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ParseEventExpr =

@@ -2,10 +2,41 @@ package pipeline.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Real whole-stage-codegen glue for the native expressions: the generated
+ * Java calls the expression's public `compute` with the CHILD'S GENERATED
+ * VALUE. CodegenFallback (the r1 form) instead embeds
+ * `references[i].eval(row)`, which forces the enclosing operator to
+ * materialize an InternalRow per call and re-evaluate the child through the
+ * interpreted path — this keeps the hot parse/hash/cosine expressions inside
+ * the fused codegen span with zero row churn.
+ */
+object NativeCodegen {
+
+  /** Snippet: `ev.value = unbox(ref.compute(childVal))`, nulling on a null
+    * compute() result. Use inside nullSafeCodeGen. */
+  def callCompute(ctx: CodegenContext, ev: ExprCode, expr: Expression,
+                  dt: DataType, args: String): String = {
+    val ref = ctx.addReferenceObj("nativeExpr", expr, expr.getClass.getName)
+    val r = ctx.freshName("res")
+    val unbox = dt match {
+      case LongType => s"((java.lang.Long) $r).longValue()"
+      case DoubleType => s"((java.lang.Double) $r).doubleValue()"
+      case IntegerType => s"((java.lang.Integer) $r).intValue()"
+      case BooleanType => s"((java.lang.Boolean) $r).booleanValue()"
+      case _ => s"(${CodeGenerator.javaType(dt)}) $r"
+    }
+    s"""
+       |Object $r = $ref.compute($args);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $unbox; }
+     """.stripMargin
+  }
+}
 
 /**
  * Native Catalyst expressions for the hash-heavy training-data operators.
@@ -79,11 +110,11 @@ object PortableHash {
   * array_min over an empty array yielding an all-null signature, which
   * downstream filters drop). */
 case class MinHashSigExpr(child: Expression, nGram: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(input: Any): Any = {
     val words = PortableHash.tokens(input.asInstanceOf[UTF8String].toString)
     val shs = PortableHash.shingles(words, nGram)
     if (shs.isEmpty) return null
@@ -101,15 +132,18 @@ case class MinHashSigExpr(child: Expression, nGram: Int, numHashes: Int)
     }
     new GenericArrayData(sig)
   }
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
 }
 
 /** SimHash over word tokens, `bits` bits — same value as Dedup.simhash. */
 case class SimHashExpr(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(input: Any): Any = {
     val words = PortableHash.tokens(input.asInstanceOf[UTF8String].toString)
     val counts = new Array[Long](bits)
     var i = 0
@@ -127,15 +161,18 @@ case class SimHashExpr(child: Expression, bits: Int)
     while (b < bits) { if (counts(b) > 0) out |= 1L << b; b += 1 }
     java.lang.Long.valueOf(out)
   }
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
 }
 
 /** Rolling word-level fingerprint — same value as TextAnalysis.fingerprint. */
 case class FingerprintExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(input: Any): Any = {
     val words = PortableHash.tokens(input.asInstanceOf[UTF8String].toString)
     var acc = 0L
     var i = 0
@@ -145,6 +182,9 @@ case class FingerprintExpr(child: Expression)
     }
     java.lang.Long.valueOf(acc)
   }
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
   override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(child = c)
 }
 
@@ -153,7 +193,7 @@ case class FingerprintExpr(child: Expression)
   * (planes, dim) from the same portable-hash formula. */
 case class HyperplaneSigExpr(child: Expression, planes: Int, dim: Int,
                              planeOffset: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
   @transient private lazy val weights: Array[Array[Double]] =
@@ -161,7 +201,7 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, dim: Int,
       (PortableHash.hash32(s"${p + planeOffset}:$i") % 2L) * 2.0 - 1.0
     }
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toFloatArray()
     // HOF twin: v.getItem(i) past the end null-poisons every plane's dot,
     // so when(dot > 0) falls to the otherwise(0) branch -> bucket 0
@@ -179,6 +219,9 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, dim: Int,
     }
     java.lang.Long.valueOf(bucket)
   }
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
   override protected def withNewChildInternal(c: Expression): HyperplaneSigExpr = copy(child = c)
 }
 
@@ -188,10 +231,10 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, dim: Int,
   * bit-identical (parity-tested) while evaluation is one tight loop
   * instead of three interpreted higher-order folds per pair. */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  def compute(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData].toFloatArray()
     val vb = b.asInstanceOf[ArrayData].toFloatArray()
     // HOF twin (zip_with) null-pads a length mismatch and the fold returns
@@ -207,6 +250,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
     while (i < vb.length) { nb += vb(i).toDouble * vb(i).toDouble; i += 1 }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => NativeCodegen.callCompute(ctx, ev, this, dataType, s"$a, $b"))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)
 }
@@ -214,14 +261,17 @@ case class CosineSimExpr(left: Expression, right: Expression)
 /** Distinct word n-gram shingles as array<string> — the fast feeder for
   * the exact-Jaccard join. */
 case class ShinglesExpr(child: Expression, nGram: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(input: Any): Any = {
     val words = PortableHash.tokens(input.asInstanceOf[UTF8String].toString)
     val shs = PortableHash.shingles(words, nGram)
     new GenericArrayData(shs.map(UTF8String.fromString): Array[Any])
   }
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
   override protected def withNewChildInternal(c: Expression): ShinglesExpr = copy(child = c)
 }
 

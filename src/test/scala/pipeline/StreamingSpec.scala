@@ -69,6 +69,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(after3 > after2)
   }
 
+  test("bus (kafka/mqtt-shaped) streaming source: decode + route == ref; off-topic ignored") {
+    val s = sc
+    val landing = Files.createTempDirectory("graft-bus-landing").toString
+    val out = Files.createTempDirectory("graft-bus-out").toString
+    // two topics land interleaved; the subscription must only consume one
+    pipeline.sources.Bus.fixture(s, 800, "reveald/src", 4)
+      .write.mode("overwrite").parquet(landing)
+    pipeline.sources.Bus.fixture(s, 300, "other/noise", 2)
+      .write.mode("append").parquet(landing)
+
+    val q = Streaming.startBus(s, landing, out, Some("reveald/src"), sourceId = "mqtt_src")
+    q.awaitTermination()
+
+    val routed = s.read.parquet(s"$out/routed_stream")
+    val got = routed.groupBy("sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = RefNormalizer.routedCounts((0L until 800L).iterator.map(Webtext.row))
+    assert(got == ref, s"got=$got ref=$ref")
+    // provenance: every routed row carries the configured source id
+    assert(routed.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("mqtt_src"))
+  }
+
   test("event-time window counts with watermark") {
     val s = sc
     val landing = Files.createTempDirectory("graft-landing3").toString
