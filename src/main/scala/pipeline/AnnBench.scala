@@ -62,6 +62,20 @@ object AnnBench {
         planes = 10, dim = 64, tables = 4))
     val recall4 = lsh4.intersect(brute).size.toDouble / brute.size
     println(f"""{"op":"ann_lsh4_recall","recall":${recall4}%.3f}""")
+    // IVF: k-means cells (fit timed separately), narrow per-row argmin
+    // assignment, nProbe-cell probes
+    val tFit = System.nanoTime()
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new KMeans().setK(64).setSeed(42L).setMaxIter(5)
+      .fit(corpus.select(array_to_vector(col("embedding").cast("array<double>")).as("features")))
+    val cents = model.clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+    println(f"""{"op":"ann_ivf_fit","cells":64,"sec":${(System.nanoTime() - tFit) / 1e9}%.2f}""")
+    val ivf = run("ann_ivf_64cells_8probe")(
+      Similarity.ivfTopKWithCentroids(corpus, queries, "vec_id", "embedding",
+        k, nProbe = 8, cents))
+    val recallIvf = ivf.intersect(brute).size.toDouble / brute.size
+    println(f"""{"op":"ann_ivf_recall","recall":${recallIvf}%.3f}""")
     spark.stop()
   }
 }
