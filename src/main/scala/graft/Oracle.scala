@@ -346,6 +346,33 @@ object Oracle {
         |   (a, b) -> (a*31 + b) % 2147483647) AS fp
         |FROM documents""".stripMargin,
 
+    "q_grok_extract" -> {
+      // the SAME compiled expansion the Spark side executes (RE2 ∩ Java
+      // subset); field i = capture group i
+      val re = pipeline.expr.Grok.compile(Queries.grokPattern).regex
+        .replace("'", "''")
+      val line =
+        """'ts=2026-01-01T00:00:00Z level=INFO src=' || source ||
+          | ' ip=10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+          | '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+          | ' status=' || CAST(200 + doc_id % 5 AS VARCHAR) ||
+          | ' bytes=' || CAST(n_chars AS VARCHAR) ||
+          | ' dur=' || CAST(doc_id % 9 AS VARCHAR) ||
+          | '.' || CAST(doc_id % 100 AS VARCHAR) ||
+          | ' msg=' || substr(text, 1, 12)""".stripMargin
+      s"""WITH lines AS (SELECT doc_id, $line AS l FROM documents)
+        |SELECT doc_id,
+        | regexp_extract(l, '$re', 1) AS g_ts,
+        | regexp_extract(l, '$re', 2) AS g_level,
+        | regexp_extract(l, '$re', 3) AS g_src,
+        | regexp_extract(l, '$re', 4) AS g_ip,
+        | CAST(regexp_extract(l, '$re', 5) AS INTEGER) AS g_status,
+        | CAST(regexp_extract(l, '$re', 6) AS BIGINT) AS g_bytes,
+        | CAST(regexp_extract(l, '$re', 7) AS DOUBLE) AS g_dur,
+        | regexp_extract(l, '$re', 8) AS g_msg
+        |FROM lines""".stripMargin
+    },
+
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS digest

@@ -298,6 +298,40 @@ object Queries {
     t(s, dir, "documents").select(
       col("doc_id"), pipeline.expr.PortableExprs.fingerprint(col("text")).as("fp"))
 
+  /** Grok named-pattern extraction (the normalizer plugin point): a log
+    * line synthesized deterministically from doc columns (so DuckDB can
+    * mirror it) → ONE-pass typed struct via the compiled grok regex. The
+    * oracle SQL embeds the SAME [[pipeline.expr.Grok.compile]] expansion,
+    * so the dialect-shared regex cannot drift between engines. */
+  val grokPattern: String =
+    "ts=%{TIMESTAMP_ISO8601:ts} level=%{LOGLEVEL:level} src=%{WORD:src} " +
+      "ip=%{IPV4:ip} status=%{INT:status:int} bytes=%{INT:bytes:long} " +
+      "dur=%{NUMBER:dur:double} msg=%{GREEDYDATA:msg}"
+
+  def grokLine: org.apache.spark.sql.Column = concat(
+    lit("ts=2026-01-01T00:00:00Z level=INFO src="), col("source"),
+    lit(" ip=10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+    lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string"),
+    lit(" status="), (lit(200L) + pmod(col("doc_id"), lit(5L))).cast("string"),
+    lit(" bytes="), col("n_chars").cast("string"),
+    lit(" dur="), pmod(col("doc_id"), lit(9L)).cast("string"),
+    lit("."), pmod(col("doc_id"), lit(100L)).cast("string"),
+    lit(" msg="), substring(col("text"), 1, 12))
+
+  def qGrokExtract(s: SparkSession, dir: String): DataFrame = {
+    val g = pipeline.expr.Grok.extract(grokLine, grokPattern)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      g.getField("ts").as("g_ts"),
+      g.getField("level").as("g_level"),
+      g.getField("src").as("g_src"),
+      g.getField("ip").as("g_ip"),
+      g.getField("status").as("g_status"),
+      g.getField("bytes").as("g_bytes"),
+      g.getField("dur").as("g_dur"),
+      g.getField("msg").as("g_msg"))
+  }
+
   /** Multimodal plumbing: opaque binary payload + portable features. */
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -45,6 +45,7 @@ object SparkEntry {
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_parse_syslog" -> (Queries.qParseSyslog _),
+    "q_grok_extract" -> (Queries.qGrokExtract _),
     "q_lang_id" -> (Queries.qLangId _),
     "q_quality" -> (Queries.qQuality _),
     "q_token_count" -> (Queries.qTokenCount _),

@@ -53,7 +53,11 @@ object ConfigRunner {
       case other =>
         throw new IllegalArgumentException(s"unknown source type '$other' (source '${src.id}')")
     }
-    docs.withColumn("source", lit(src.id))
+    // normalizer plugin point: an optional per-source grok pattern extracts
+    // a typed struct from the payload in one pass (SURVEY.md §7.4)
+    val grokked = src.grok.foldLeft(docs)((d, pat) =>
+      d.withColumn("grok", pipeline.expr.Grok.extract(col("text"), pat)))
+    grokked.withColumn("source", lit(src.id))
   }
 
   /** Reveald's routing default: no routing block = every event is delivered

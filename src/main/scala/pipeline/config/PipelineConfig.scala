@@ -28,6 +28,7 @@ final case class SourceSpec(
     path: Option[String] = None,
     maxLineLenKB: Option[Int] = None,
     query: Option[String] = None,
+    grok: Option[String] = None,
     channel: Option[String] = None,
     topic: Option[String] = None,
     broker: Option[String] = None,
@@ -94,6 +95,7 @@ object PipelineConfig {
         path = str(n, "path"),
         maxLineLenKB = int(n, "maxLineLenKB"),
         query = str(n, "query"),
+        grok = str(n, "grok"),
         channel = str(n, "channel"),
         topic = str(n, "topic"),
         broker = str(n, "broker"),

@@ -40,5 +40,15 @@ object Functions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_parse_event",
       es => ParseEventExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_grok",
+      es => GrokExtractExpr(es.head, strLit(es(1), "pattern")), "built-in")
+  }
+
+  private def strLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
   }
 }

@@ -1,0 +1,167 @@
+package pipeline.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Grok named-pattern library — the normalizer plugin point (SURVEY.md §7.4;
+ * the reference's T1 "event normalizers", `examples/nginx_json.conf:50-79`
+ * being one hand-written instance). A grok expression interleaves literal
+ * regex with `%{PATTERN:field}` / `%{PATTERN:field:type}` / `%{PATTERN}`
+ * references into a base dictionary, and compiles to ONE regex whose
+ * capture groups are exactly the named fields, in order — so extraction is
+ * a single pass per row producing a typed struct (vs one `regexp_extract`
+ * scan per field).
+ *
+ * Dialect: the dictionary (and any user literals, by documented contract)
+ * sticks to the RE2 ∩ java.util.regex common subset — character classes,
+ * alternation, non-capturing groups, greedy/lazy quantifiers; no backrefs,
+ * no lookaround (SURVEY.md §7.5: the reference's Go side is RE2). That keeps
+ * patterns portable to the DuckDB oracle (also RE2), which addresses field
+ * k as capture group k of [[Grok.compile]]'s expanded regex.
+ *
+ * Types: `:int` `:long` `:double` `:boolean` (default string). A matched
+ * field that fails its numeric parse nulls THAT field, never the row —
+ * the empty-string→0 style coalescing stays a visible downstream choice.
+ */
+object Grok {
+
+  /** Base pattern dictionary. Every entry is group-free (non-capturing
+    * only), so capture-group numbering is owned by the field references. */
+  val Patterns: Map[String, String] = Map(
+    "WORD" -> "\\w+",
+    "NOTSPACE" -> "\\S+",
+    "SPACE" -> "\\s+",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "INT" -> "[+-]?[0-9]+",
+    "NUMBER" -> "[+-]?[0-9]+(?:\\.[0-9]+)?",
+    "BASE16NUM" -> "(?:0[xX])?[0-9a-fA-F]+",
+    "IPV4" -> "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "IP" -> "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "HOSTNAME" -> "[A-Za-z0-9][A-Za-z0-9._-]*",
+    "USER" -> "[a-zA-Z0-9._-]+",
+    "PATH" -> "(?:/[^ ?\\n]*)+",
+    "URIPARAM" -> "\\?[^ \\n]*",
+    "QUOTEDSTRING" -> "\"[^\"]*\"",
+    "UUID" -> "[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "LOGLEVEL" -> "(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERR(?:OR)?|CRIT(?:ICAL)?|FATAL|SEVERE)",
+    "TIMESTAMP_ISO8601" ->
+      "[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(?:\\.[0-9]+)?(?:Z|[+-][0-9]{2}:?[0-9]{2})?",
+    "SYSLOGTIMESTAMP" -> "[A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2}",
+    "HTTPMETHOD" -> "(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)")
+
+  final case class Field(name: String, typ: String) {
+    def dataType: DataType = typ match {
+      case "int" => IntegerType
+      case "long" => LongType
+      case "double" | "float" => DoubleType
+      case "boolean" => BooleanType
+      case _ => StringType
+    }
+  }
+
+  /** The expanded single regex + the captured fields in group order
+    * (field i ↔ capture group i+1). */
+  final case class Compiled(regex: String, fields: Seq[Field]) {
+    def schema: StructType =
+      StructType(fields.map(f => StructField(f.name, f.dataType)))
+  }
+
+  private val Ref = java.util.regex.Pattern.compile(
+    "%\\{(\\w+)(?::([\\w@.\\[\\]-]+))?(?::(\\w+))?\\}")
+
+  /**
+   * Expand `%{...}` references (recursively — a custom pattern may itself
+   * reference others) into one regex. Named references become capture
+   * groups; unnamed ones non-capturing. Literal text between references is
+   * passed through VERBATIM as regex, classic grok semantics.
+   */
+  def compile(pattern: String,
+              extraPatterns: Map[String, String] = Map.empty,
+              depth: Int = 0): Compiled = {
+    require(depth < 10, s"grok pattern recursion too deep: $pattern")
+    val dict = Patterns ++ extraPatterns
+    val m = Ref.matcher(pattern)
+    val sb = new java.lang.StringBuilder
+    val fields = Seq.newBuilder[Field]
+    var last = 0
+    while (m.find()) {
+      sb.append(pattern, last, m.start())
+      val name = m.group(1)
+      val field = Option(m.group(2))
+      val typ = Option(m.group(3)).getOrElse("string")
+      val base = dict.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown grok pattern %{$name}"))
+      // recurse: a dictionary entry may itself hold %{...} references
+      val inner = compile(base, extraPatterns, depth + 1)
+      field match {
+        case Some(f) =>
+          // the outer group OPENS before any inner group → outer field first
+          fields += Field(f, typ)
+          fields ++= inner.fields
+          sb.append('(').append(inner.regex).append(')')
+        case None =>
+          fields ++= inner.fields
+          sb.append("(?:").append(inner.regex).append(")")
+      }
+      last = m.end()
+    }
+    sb.append(pattern, last, pattern.length)
+    Compiled(sb.toString, fields.result())
+  }
+
+  /** Column API: one-pass typed-struct extraction; null on no match. */
+  def extract(text: Column, pattern: String,
+              extraPatterns: Map[String, String] = Map.empty): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      GrokExtractExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        pattern, extraPatterns.toSeq.sortBy(_._1)))
+}
+
+/** One-pass grok extraction: text → struct of typed fields; null when the
+  * pattern does not match (unanchored find, grok convention). */
+case class GrokExtractExpr(child: Expression, pattern: String,
+                           extraPatterns: Seq[(String, String)] = Nil)
+    extends UnaryExpression {
+
+  @transient private lazy val compiled = Grok.compile(pattern, extraPatterns.toMap)
+  @transient private lazy val re = java.util.regex.Pattern.compile(compiled.regex)
+
+  override def dataType: DataType = compiled.schema
+  override def nullable: Boolean = true
+
+  def compute(input: Any): Any = {
+    val m = re.matcher(input.asInstanceOf[UTF8String].toString)
+    if (!m.find()) return null
+    val vals = new Array[Any](compiled.fields.length)
+    var i = 0
+    while (i < vals.length) {
+      val g = m.group(i + 1)
+      vals(i) =
+        if (g == null) null
+        else try {
+          compiled.fields(i).typ match {
+            case "int" => Integer.valueOf(g.toInt)
+            case "long" => java.lang.Long.valueOf(g.toLong)
+            case "double" | "float" => java.lang.Double.valueOf(g.toDouble)
+            case "boolean" => java.lang.Boolean.valueOf(g.toBoolean)
+            case _ => UTF8String.fromString(g)
+          }
+        } catch { case _: NumberFormatException => null }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
+  override protected def withNewChildInternal(c: Expression): GrokExtractExpr =
+    copy(child = c)
+}

@@ -1,0 +1,82 @@
+package pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import pipeline.expr.Grok
+
+/** Grok named-pattern library: compile semantics, one-pass typed
+  * extraction, SQL surface, config wiring (SURVEY.md §7.4). */
+class GrokSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, 4, "grok-spec")
+  private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
+
+  test("compile: expansion, group order, unnamed refs, recursion, unknowns") {
+    val c = Grok.compile("x=%{INT:x:int} %{SPACE}y=%{WORD:y}")
+    assert(c.fields.map(_.name) == Seq("x", "y"))
+    assert(c.regex == "x=([+-]?[0-9]+) (?:\\s+)y=(\\w+)")
+    // custom patterns may reference the dictionary (one-level recursion)
+    val c2 = Grok.compile("%{KV:kv}",
+      extraPatterns = Map("KV" -> "%{WORD}=%{INT}"))
+    assert(c2.fields.map(_.name) == Seq("kv"))
+    assert(c2.regex == "((?:\\w+)=(?:[+-]?[0-9]+))")
+    // a named ref INSIDE a custom pattern keeps group order outer-first
+    val c3 = Grok.compile("%{PAIR:pair}",
+      extraPatterns = Map("PAIR" -> "%{WORD:k}=%{INT:v:int}"))
+    assert(c3.fields.map(_.name) == Seq("pair", "k", "v"))
+    intercept[IllegalArgumentException](Grok.compile("%{NOPE:z}"))
+    intercept[IllegalArgumentException](
+      Grok.compile("%{A:a}", extraPatterns = Map("A" -> "%{A}")))
+  }
+
+  test("extract: typed struct in one pass; no match → null; bad cast → null field") {
+    val s = sc
+    import s.implicits._
+    val df = Seq(
+      "2026-02-03T04:05:06Z ERROR nginx 10.1.2.3 status=404 took=1.25 msg=boom",
+      "no structure here",
+      // status overflows Int → that FIELD nulls, row survives
+      "2026-02-03T04:05:06Z WARN app 10.0.0.1 status=99999999999 took=0.5 msg=x"
+    ).toDF("line")
+    val pat = "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{WORD:app} " +
+      "%{IPV4:ip} status=%{INT:status:int} took=%{NUMBER:took:double} msg=%{GREEDYDATA:msg}"
+    val out = df.select(Grok.extract(col("line"), pat).as("g")).collect()
+    val r0 = out(0).getStruct(0)
+    assert(r0.getString(0) == "2026-02-03T04:05:06Z" && r0.getString(1) == "ERROR")
+    assert(r0.getString(3) == "10.1.2.3" && r0.getInt(4) == 404)
+    assert(r0.getDouble(5) == 1.25 && r0.getString(6) == "boom")
+    assert(out(1).isNullAt(0))
+    val r2 = out(2).getStruct(0)
+    assert(r2.isNullAt(4) && r2.getDouble(5) == 0.5)
+  }
+
+  test("SQL surface graft_grok == Column API; config grok wiring") {
+    val s = sc
+    import s.implicits._
+    pipeline.expr.Functions.registerAll(s)
+    Seq("a=1 b=two", "a=42 b=x").toDF("t").createOrReplaceTempView("gt")
+    val viaSql = s.sql(
+      """SELECT g.a, g.b FROM (
+        |  SELECT graft_grok(t, 'a=%{INT:a:long} b=%{WORD:b}') AS g FROM gt)""".stripMargin)
+      .collect()
+    assert(viaSql.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "two"), (42L, "x")))
+    // config-driven: a source with a grok pattern grows the typed column
+    val spec = pipeline.config.PipelineConfig.parse(
+      """{"sources": {"app": {"type": "file",
+        |  "grok": "status=%{INT:status:int} bytes=%{INT:bytes:long}"}},
+        |"destinations": {"printer": {"type": "printer"}}}""".stripMargin)
+    assert(spec.sources.head.grok.isDefined)
+    val raw = pipeline.sources.LineCodec.encode(
+      pipeline.fixtures.Webtext.df(s, 50, 2))
+    val docs = pipeline.config.ConfigRunner.fromSource(spec.sources.head, raw)
+    assert(docs.columns.contains("grok"))
+    val hit = docs.filter(col("grok").isNotNull)
+    assert(hit.count() > 0)
+    // grok'd status equals the reference regex's status on matching rows
+    assert(hit.filter(col("grok.status") =!=
+      regexp_extract(col("text"), "status=([0-9]+)", 1).cast("int")).count() == 0)
+  }
+}
