@@ -124,6 +124,27 @@ object Oracle {
         | CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
     "q_topk_users" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY 1 ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin,
@@ -295,6 +316,26 @@ object Oracle {
         |  SELECT a, b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
         |  FROM pairs JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b)
         |SELECT a, b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
+
+    "q_dedup_near_apply" ->
+      s"""WITH tb AS (SELECT unnest([0, 1, 2]) AS tbl),
+        |b AS (
+        |  SELECT e.vec_id, tb.tbl,
+        |   CAST(list_sum(list_transform(range(0, 4), pp ->
+        |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |       i -> CAST(e.embedding[i] AS DOUBLE) *
+        |            CAST((${h32("(tb.tbl*4+pp)||':'||(i-1)")} % 2)*2 - 1 AS DOUBLE))), (x,y) -> x+y) > 0
+        |          THEN (CAST(1 AS BIGINT) << pp) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN tb),
+        |pairs AS (
+        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        |drops AS (
+        |  SELECT DISTINCT b AS drop_id FROM pairs
+        |  JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b
+        |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin,
 
     "q_parse_syslog" ->
       """SELECT doc_id,

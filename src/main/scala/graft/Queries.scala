@@ -156,6 +156,21 @@ object Queries {
     t(s, dir, "events").groupBy("user_id").agg(count(lit(1)).as("n_events"))
       .orderBy(col("n_events").desc, col("user_id").asc).limit(10)
 
+  /** Event-time SESSIONIZATION (session_window, 30-min gap): the §2.5
+    * stateful-window shape, batch form. Spark merges events into a session
+    * while the next event starts strictly before prev_ts + gap; the oracle
+    * mirrors that with lag() + a cumulative new-session flag (diff >= gap
+    * starts a new session — same strict boundary). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5)).as("sum_value_cents"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value_cents"))
+
   /** Exact distinct aggregation. */
   def qDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").groupBy("event_type")
@@ -261,6 +276,18 @@ object Queries {
   def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.embedNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, planes = 4, dim = 64, tables = 3)
+
+  /** Near-dup APPLY: the corpus with near-duplicate pairs collapsed — for
+    * every candidate pair (a < b) the higher id drops, keeping canonical
+    * lower-id docs (the standard greedy policy; transitive-closure
+    * canonicalization is a connected-components pass layered on the same
+    * pairs). Pairs come from the LSH-gated embedding dedup. */
+  def qDedupNearApply(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupEmbedLsh(s, dir).select(col("b").as("drop_id"))
+    t(s, dir, "embeddings")
+      .join(pairs.distinct(), col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+  }
 
   /** S3: syslog envelope strip, demonstrated end-to-end (envelope is
     * constructed deterministically so DuckDB can mirror it). */

@@ -41,6 +41,8 @@ object SparkEntry {
     "q_dedup_ngram" -> (Queries.qDedupNgram _),
     "q_dedup_embed" -> (Queries.qDedupEmbed _),
     "q_dedup_embed_lsh" -> (Queries.qDedupEmbedLsh _),
+    "q_dedup_near_apply" -> (Queries.qDedupNearApply _),
+    "q_sessionize" -> (Queries.qSessionize _),
     "q_ann_cosine" -> (Queries.qAnnCosine _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),

@@ -73,6 +73,31 @@ object Multimodal {
     }.toDF("asset_id", "frame_ts_ms", "frame_bytes")
   }
 
+  /**
+   * Resize plumbing: image rows → fixed-target payloads. Real contract:
+   * per-partition codec lifecycle, output schema (asset_id, width, height,
+   * bytes), deterministic output sizing; the pixel work is the stub. On a
+   * cluster the inner function binds an actual scaler; everything around
+   * it (distribution, batching, schema) is unchanged.
+   */
+  def resize(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      // real impl: scaler initialized once per partition here
+      it.flatMap { a =>
+        val (w, h, _, ok) = StubCodecs.decode(a.kind, a.bytes)
+        if (!ok) Iterator.empty
+        else {
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // STUB pixels: deterministic truncation proportional to area ratio
+          val outLen = math.max(1, (a.bytes.length * (nw.toLong * nh) / math.max(1L, w.toLong * h)).toInt)
+          Iterator((a.asset_id, nw, nh, a.bytes.take(outLen)))
+        }
+      }
+    }.toDF("asset_id", "width", "height", "bytes")
+  }
+
   /** Column-only binary feature extraction (no stub needed): sizes and a
     * magic-byte sniff — fully portable to the SQL oracle. */
   def binaryFeatures(df: DataFrame, bytesCol: String): DataFrame =

@@ -1,0 +1,107 @@
+package pipeline.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * The reference's count/time destination batcher as EXPLICIT streaming
+ * state (A1/D2: flush a sink's buffer when it holds `batchSize` events OR
+ * `flushMs` has passed since the buffer's first event —
+ * `examples/journald_to_s3batch_config.json:11-12` batchSize=100 +
+ * flushFrequency=30s; `examples/windows/config_windows.json:33-34`).
+ *
+ * Built on `flatMapGroupsWithState` + event-time timeout: per-sink state is
+ * (buffered count, first event-time, flush sequence), count-triggered
+ * flushes emit inline, time-triggered flushes fire when the WATERMARK
+ * passes firstTs + flushMs (event-time, so replays are deterministic),
+ * and a timeout flush drains state that stopped receiving events.
+ *
+ * The state transition is a PURE function ([[Batcher.step]]) so flush
+ * semantics are unit-testable without a streaming harness; the GroupState
+ * shell only feeds it and stores the remainder.
+ */
+object Batcher {
+
+  /** Per-sink buffer state. */
+  final case class BState(buffered: Long, firstTsMs: Long, seq: Long)
+
+  /** One flush record: `trigger` ∈ count | time | timeout. */
+  final case class Flush(sink: String, seq: Long, n_events: Long,
+                         first_ts_ms: Long, trigger: String)
+
+  /** One incoming buffered unit: events for a sink in this micro-batch.
+    * Carries the event-time column itself — the watermark rides on it. */
+  final case class In(sink: String, warc_ts: java.sql.Timestamp)
+
+  /**
+   * Pure transition: previous state + `newN` new events (earliest at
+   * `newMinTs`) + current watermark → (flushes, remaining state).
+   * Full batches flush by count; the remainder flushes by time when the
+   * watermark has passed firstTs + flushMs, else it carries over.
+   */
+  def step(sink: String, prev: Option[BState], newN: Long, newMinTs: Long,
+           batchSize: Int, flushMs: Long, watermarkMs: Long): (Seq[Flush], Option[BState]) = {
+    val total = prev.map(_.buffered).getOrElse(0L) + newN
+    val firstTs = prev.map(_.firstTsMs).filter(_ > 0)
+      .map(math.min(_, newMinTs)).getOrElse(newMinTs)
+    var seq = prev.map(_.seq).getOrElse(0L)
+    val flushes = Seq.newBuilder[Flush]
+    var remaining = total
+    while (remaining >= batchSize) {
+      flushes += Flush(sink, seq, batchSize, firstTs, "count")
+      seq += 1
+      remaining -= batchSize
+    }
+    if (remaining > 0 && watermarkMs >= firstTs + flushMs) {
+      flushes += Flush(sink, seq, remaining, firstTs, "time")
+      seq += 1
+      remaining = 0
+    }
+    val next =
+      if (remaining == 0) {
+        // keep the sequence counter without an open buffer
+        if (seq == 0) None else Some(BState(0L, 0L, seq))
+      } else Some(BState(remaining, firstTs, seq))
+    (flushes.result(), next)
+  }
+
+  /** Streaming shell: routed doc stream → per-sink flush records. */
+  def flushes(routed: DataFrame, batchSize: Int, flushMs: Long): Dataset[Flush] = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    val in = routed
+      .select(col("sink"), col("warc_ts"))
+      .withWatermark("warc_ts", "0 seconds")
+      .as[In]
+    in.groupByKey(_.sink)
+      .flatMapGroupsWithState[BState, Flush](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (sink: String, events: Iterator[In], state: GroupState[BState]) =>
+          val prev = state.getOption
+          val wm = state.getCurrentWatermarkMs()
+          val (flushes, next) =
+            if (state.hasTimedOut) {
+              // drain: the watermark passed the buffer's deadline with no
+              // new events — flush whatever is held
+              val st = prev.get
+              if (st.buffered > 0)
+                (Seq(Flush(sink, st.seq, st.buffered, st.firstTsMs, "timeout")),
+                  Some(BState(0L, 0L, st.seq + 1)))
+              else (Nil, prev)
+            } else {
+              var n = 0L
+              var minTs = Long.MaxValue
+              events.foreach { e => n += 1; minTs = math.min(minTs, e.warc_ts.getTime) }
+              step(sink, prev, n, minTs, batchSize, flushMs, wm)
+            }
+          next match {
+            case Some(st) =>
+              state.update(st)
+              if (st.buffered > 0) state.setTimeoutTimestamp(st.firstTsMs + flushMs)
+            case None => state.remove()
+          }
+          flushes.iterator
+      }
+  }
+}

@@ -168,6 +168,19 @@ class OpsSpec extends AnyFunSuite {
     assert(meta.toSeq == meta2.toSeq)
     val frames = sampleFrames(assets, everyMs = 50000L)
     assert(frames.count() == meta(1).duration_ms / 50000L + 1)
+    // resize: bounded dims, aspect preserved (within integer truncation),
+    // payload shrinks proportionally, never upscales
+    val rs = resize(assets, 640, 480).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).length))
+    assert(rs.map(_._1).toSet == Set(1L)) // only the decodable image
+    rs.foreach { case (_, w, h, n) =>
+      assert(w <= 640 && h <= 480 && w >= 1 && h >= 1 && n >= 1)
+    }
+    val origW = meta(0).width.toDouble
+    val origH = meta(0).height
+    rs.foreach { case (_, w, h, _) =>
+      if (origW <= 640 && origH <= 480) assert(w == meta(0).width && h == origH)
+    }
   }
 
   test("lang-id, quality, token counts are deterministic and sane") {
