@@ -47,7 +47,13 @@ object Streaming {
   def startDocs(docStream: DataFrame, outDir: String,
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val ledger = new io.Ledger(outDir)
-    docStream.writeStream
+    docStream
+      // streaming metrics surface: the same observe() counters as the batch
+      // path, reported per micro-batch in StreamingQueryProgress
+      .observe("graft_stream_in",
+        count(lit(1)).as("events_in"),
+        max(octet_length(col("text"))).as("max_event_bytes"))
+      .writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -129,6 +129,49 @@ object PipelineConfig {
   def load(path: String, env: Map[String, String] = sys.env): PipelineSpec =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8), env)
+
+  /** Serialize a spec back to (plain, comment-free) JSON — canonical
+    * map-shaped form. parse(render(spec)) == spec (round-trip-tested), so
+    * programmatically-built pipelines can be persisted as configs. */
+  def render(spec: PipelineSpec): String = {
+    val m = mapper
+    val root = m.createObjectNode()
+    val srcs = root.putObject("sources")
+    spec.sources.foreach { s =>
+      val n = srcs.putObject(s.id)
+      n.put("type", s.kind)
+      s.path.foreach(n.put("path", _))
+      s.maxLineLenKB.foreach(n.put("maxLineLenKB", _))
+      s.query.foreach(n.put("query", _))
+      s.grok.foreach(n.put("grok", _))
+      s.channel.foreach(n.put("channel", _))
+      s.topic.foreach(n.put("topic", _))
+      s.broker.foreach(n.put("broker", _))
+      s.qos.foreach(n.put("qos", _))
+      s.retained.foreach(n.put("retained", _))
+    }
+    val dsts = root.putObject("destinations")
+    spec.sinks.foreach { d =>
+      val n = dsts.putObject(d.id)
+      n.put("type", d.kind)
+      d.pathPrefix.foreach(n.put("pathPrefix", _))
+      d.batchSize.foreach(n.put("batchSize", _))
+      d.flushFreq.foreach(n.put("flushFreq", _))
+      d.webhookUrl.foreach(n.put("webhookURL", _))
+      d.topic.foreach(n.put("topic", _))
+      d.broker.foreach(n.put("broker", _))
+    }
+    if (spec.rules.nonEmpty) {
+      val arr = root.putArray("routing")
+      spec.rules.foreach { r =>
+        val n = arr.addObject()
+        n.put("when", r.when)
+        val sk = n.putArray("sinks")
+        r.sinks.foreach(sk.add)
+      }
+    }
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
 }
 
 /** Compiles RuleSpec predicates to Catalyst Columns. Grammar (tiny, total):

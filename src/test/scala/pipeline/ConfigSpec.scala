@@ -67,6 +67,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(viaConfig == viaDefault)
   }
 
+  test("render/parse round-trip: every reference example config survives") {
+    val refs = Seq("config.json", "mqtt_config.json", "windows/config_windows.json",
+      "journald_to_s3batch_config.json", "stdin_to_s3_config.json")
+    // declaration order of sources/sinks is semantically irrelevant (maps
+    // in the config), so compare as sets; routing order is significant
+    def canon(s: pipeline.config.PipelineSpec) =
+      (s.sources.toSet, s.sinks.toSet, s.rules)
+    refs.foreach { f =>
+      val spec = PipelineConfig.load(s"/root/reference/examples/$f")
+      val back = PipelineConfig.parse(PipelineConfig.render(spec))
+      assert(canon(back) == canon(spec), s"round-trip drift for $f")
+    }
+    // and with a routing block (our extension)
+    val spec = PipelineConfig.parse(hujson, Map("WEBHOOK_URL" -> "x"))
+    assert(canon(PipelineConfig.parse(PipelineConfig.render(spec))) == canon(spec))
+  }
+
   test("rule compiler: operators and conjunction") {
     val s = spark
     import s.implicits._

@@ -90,6 +90,12 @@ class StreamingSpec extends AnyFunSuite {
     // provenance: every routed row carries the configured source id
     assert(routed.select("source").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("mqtt_src"))
+    // observe() metrics surface per micro-batch (StreamingQueryProgress):
+    // on-topic rows only, summed across progress events
+    val observedIn = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_stream_in")))
+      .map(_.getAs[Long]("events_in")).sum
+    assert(observedIn == 800L, s"observed events_in=$observedIn")
   }
 
   test("event-time window counts with watermark") {
