@@ -72,33 +72,49 @@ object Pipeline {
     "status", "bytes", "method", "extracted_text", "is_corrupt", "lang_family",
     "region", "sink", "day").map(col)
 
-  /** The exact pre-write plan: transform → project (prunes `html` from the
-    * scan) → salted repartition. Explicit partition count pins write
+  /** Salted pre-write partitioning on (sink, day): spreads hot write
+    * partitions over [[Salts]] tasks without changing row multiplicity
+    * (property-tested). An explicit `writeTasks` count pins write
     * parallelism to the session's shuffle setting — without it AQE
     * coalesces to ~the same task count at every cluster size, capping
     * scale-up (measured: efficiency 0.36→ok). */
+  def saltedWritePartitioning(df: DataFrame, writeTasks: Option[Int]): DataFrame = {
+    val s = df.withColumn("salt", pmod(xxhash64(col("url")), lit(Salts)))
+    (writeTasks match {
+      case Some(t) => s.repartition(t, col("sink"), col("day"), col("salt"))
+      case None => s.repartition(col("sink"), col("day"), col("salt"))
+    }).drop("salt")
+  }
+
+  /** Partitioned (sink, day) write with per-sink counts observed ON the
+    * write pass — the sink set is static, so per-sink counters are plain
+    * conditional aggregates; a separate count pass (or the r1 read-back)
+    * would double the I/O. Shared by [[runFused]] and the config runner. */
+  def countedWrite(prePartitioned: DataFrame, sinkNames: Seq[String],
+                   io: ParquetTableIO, table: String,
+                   maxRecordsPerFile: Long = 1000000L): Map[String, Long] = {
+    val obs = Observation()
+    val counted = prePartitioned.observe(obs,
+      count(when(col("sink") === sinkNames.head, true)).as(sinkNames.head),
+      sinkNames.tail.map(s => count(when(col("sink") === s, true)).as(s)): _*)
+    io.write(counted, table, Seq("sink", "day"), maxRecordsPerFile)
+    val row = obs.get
+    sinkNames.map(s => s -> row(s).asInstanceOf[Long]).toMap
+  }
+
+  /** The exact pre-write plan: transform → project (prunes `html` from the
+    * scan) → salted repartition. */
   def fusedPlan(webtext: DataFrame, writeTasks: Int, observed: Boolean = false,
                 rules: Seq[RouteRule] = Route.defaultRules): DataFrame =
-    transform(webtext, observed, rules)
-      .select(outCols: _*)
-      .withColumn("salt", pmod(xxhash64(col("url")), lit(Salts)))
-      .repartition(writeTasks, col("sink"), col("day"), col("salt"))
-      .drop("salt")
+    saltedWritePartitioning(
+      transform(webtext, observed, rules).select(outCols: _*), Some(writeTasks))
 
   def runFused(spark: SparkSession, webtext: DataFrame, outDir: String,
                rules: Seq[RouteRule] = Route.defaultRules,
                audit: Boolean = false): Map[String, Long] = {
     val writeTasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val routed = fusedPlan(webtext, writeTasks, observed = true, rules)
-    // Per-sink counts are observed ON the write pass itself: the sink set is
-    // static (the rule list + deadletter), so per-sink counters are plain
-    // conditional aggregates — the r1 read-back doubled I/O for numbers the
-    // job had already streamed past.
     val sinkNames = (rules.map(_.sink) :+ Sinks.DeadLetter).distinct
-    val obs = Observation("graft_sink_counts")
-    val counted = routed.observe(obs,
-      count(when(col("sink") === sinkNames.head, true)).as(sinkNames.head),
-      sinkNames.tail.map(s => count(when(col("sink") === s, true)).as(s)): _*)
     val io = new ParquetTableIO(outDir)
     val schema = routed.schema // explicit on read-back: empty writes have no files to infer from
     def phase[T](name: String)(f: => T): T = {
@@ -108,10 +124,8 @@ object Pipeline {
         println(f"[fused] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
       r
     }
-    phase("write")(io.write(counted, "routed", Seq("sink", "day")))
-    val observedRow = obs.get
-    val counts = sinkNames.map(s => s -> observedRow(s).asInstanceOf[Long])
-      .filter(_._2 > 0).toMap
+    val counts = phase("write")(
+      countedWrite(routed, sinkNames, io, "routed")).filter(_._2 > 0)
     if (audit) phase("audit") {
       val readBack = Aggregate.sinkCounts(
         spark.read.schema(schema).parquet(s"$outDir/routed"))

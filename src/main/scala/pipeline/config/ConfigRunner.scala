@@ -93,20 +93,13 @@ object ConfigRunner {
     val ledger = new Ledger(outDir)
     val sinkIds = (spec.sinks.map(_.id) :+ Sinks.DeadLetter).distinct
     val outCols = routedDf.columns.filterNot(_ == "html").map(col).toSeq
-    val obs = org.apache.spark.sql.Observation("config_sink_counts")
-    val counted = routedDf.select(outCols: _*)
-      .withColumn("salt", pmod(xxhash64(col("url")), lit(Pipeline.Salts)))
-      .repartition(col("sink"), col("day"), col("salt"))
-      .drop("salt")
-      .observe(obs,
-        count(when(col("sink") === sinkIds.head, true)).as(sinkIds.head),
-        sinkIds.tail.map(s => count(when(col("sink") === s, true)).as(s)): _*)
+    val prePartitioned = Pipeline.saltedWritePartitioning(
+      routedDf.select(outCols: _*), writeTasks = None)
     val minBatch = spec.sinks.filter(d => d.kind == "s3" || d.kind == "s3b")
       .flatMap(_.batchSize.map(_.toLong)).minOption.getOrElse(1000000L)
-    val schema = counted.schema
-    io.write(counted, "routed", Seq("sink", "day"), maxRecordsPerFile = minBatch)
-    val observed = obs.get
-    val counts = sinkIds.map(s => s -> observed(s).asInstanceOf[Long]).toMap
+    val schema = prePartitioned.schema
+    val counts = Pipeline.countedWrite(prePartitioned, sinkIds, io, "routed",
+      maxRecordsPerFile = minBatch)
 
     def slice(id: String): DataFrame =
       spark.read.schema(new org.apache.spark.sql.types.StructType(
@@ -146,21 +139,37 @@ object ConfigRunner {
           n: Long, cores: Int): Map[String, Long] = {
     val spec = PipelineConfig.load(cfgPath)
     val outDir = conf.getOrElse("--out", "/tmp/graft-config-out")
-    val inputs = spec.sources.map(s => s.id -> fixtureInput(spark, s, n, cores)).toMap
+    val readPaths = conf.get("--read-paths").exists(_.toBoolean)
+    val inputs = spec.sources
+      .map(s => s.id -> fixtureInput(spark, s, n, cores, readPaths)).toMap
     val r = routed(spec, inputs)
     val counts = deliver(spec, r, outDir,
       new Push.LocalFileTransport(s"$outDir/pushed"))
     counts.map { case (k, v) => k -> v }
   }
 
-  /** Deterministic raw frame in the wire shape each source kind consumes. */
+  /** Raw frame in the wire shape each source kind consumes. With
+    * `readPaths = true` (EXPLICIT opt-in: the CLI's `--read-paths true`), a
+    * line-shaped source whose configured `path` exists is read from disk —
+    * one event per line, honoring the `extension` filter
+    * (`examples/config.json:8-12` kubernetes file source, ".log").
+    * Default is the deterministic fixture, so golden tests and demo runs
+    * never silently depend on what happens to exist at the config's host
+    * paths (e.g. a real /var/log/pods). */
   def fixtureInput(spark: SparkSession, src: SourceSpec, n: Long,
-                   partitions: Int): DataFrame = src.kind match {
+                   partitions: Int, readPaths: Boolean = false): DataFrame = src.kind match {
     case "eventlog" => EventLog.df(spark, n, partitions, src.channel)
     case "mqtt" => Bus.fixture(spark, n, src.topic.getOrElse("reveald/src"), partitions)
     case "nginx_syslog" | "syslog" =>
       LineCodec.encode(Webtext.df(spark, n, partitions))
         .select(concat(lit("<190>Jan  1 00:00:01 web01 nginx: "), col("value")).as("value"))
-    case _ => LineCodec.encode(Webtext.df(spark, n, partitions))
+    case _ =>
+      src.path.filter(p => readPaths && new java.io.File(p).exists()) match {
+        case Some(p) =>
+          val r = spark.read
+          src.extension.foreach(ext => r.option("pathGlobFilter", s"*$ext"))
+          r.option("recursiveFileLookup", "true").text(p)
+        case None => LineCodec.encode(Webtext.df(spark, n, partitions))
+      }
   }
 }

@@ -26,6 +26,7 @@ final case class SourceSpec(
     id: String,
     kind: String,
     path: Option[String] = None,
+    extension: Option[String] = None,
     maxLineLenKB: Option[Int] = None,
     query: Option[String] = None,
     grok: Option[String] = None,
@@ -93,6 +94,7 @@ object PipelineConfig {
       SourceSpec(id,
         kind = str(n, "type").getOrElse("file"),
         path = str(n, "path"),
+        extension = str(n, "extension"),
         maxLineLenKB = int(n, "maxLineLenKB"),
         query = str(n, "query"),
         grok = str(n, "grok"),
@@ -141,6 +143,7 @@ object PipelineConfig {
       val n = srcs.putObject(s.id)
       n.put("type", s.kind)
       s.path.foreach(n.put("path", _))
+      s.extension.foreach(n.put("extension", _))
       s.maxLineLenKB.foreach(n.put("maxLineLenKB", _))
       s.query.foreach(n.put("query", _))
       s.grok.foreach(n.put("grok", _))

@@ -153,7 +153,9 @@ case class GrokExtractExpr(child: Expression, pattern: String,
             case "boolean" => java.lang.Boolean.valueOf(g.toBoolean)
             case _ => UTF8String.fromString(g)
           }
-        } catch { case _: NumberFormatException => null }
+          // IllegalArgumentException covers NumberFormatException AND
+          // "maybe".toBoolean — any failed cast nulls the FIELD, never the row
+        } catch { case _: IllegalArgumentException => null }
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)

@@ -244,16 +244,35 @@ object ParseEventExpr {
                 case "response" => 3
                 case _ => 9
               }
+              // A TRACKED FIELD bound to a container coerces like readTree:
+              // asText(container) == "" and asInt/asLong(container) == 0 —
+              // so {"response":{"status":[500]}} reads status 0 on BOTH
+              // paths, not null-on-fast/0-on-slow.
+              def coerceContainerField(): Unit =
+                if (section2 == 1) {
+                  if (f == "method") reqMethod = ""
+                  else if (f == "uri") uri = ""
+                } else if (section2 == 2) {
+                  if (f == "response_length") rl = ""
+                  else if (f == "bytes_sent") upBytesSent = java.lang.Long.valueOf(0L)
+                } else if (section2 == 3) {
+                  if (f == "status") respStatus = Integer.valueOf(0)
+                  else if (f == "body_bytes_sent") bbs = ""
+                }
               if (v == JsonToken.START_OBJECT) {
                 depth += 1
                 if (depth == 2) {
                   if (f == "ts") ts = ""
                   section2 = sectionOf(f)
                   resetSection(section2)
+                } else if (depth == 3) {
+                  coerceContainerField()
                 }
               } else if (v == JsonToken.START_ARRAY) {
                 if (depth == 1) {
                   if (f == "ts") ts = "" else resetSection(sectionOf(f))
+                } else if (depth == 2) {
+                  coerceContainerField()
                 }
                 p.skipChildren()
               } else {

@@ -19,7 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object NativeCodegen {
 
   /** Snippet: `ev.value = unbox(ref.compute(childVal))`, nulling on a null
-    * compute() result. Use inside nullSafeCodeGen. */
+    * compute() result. Use inside nullSafeCodeGen. When the expression is
+    * NON-nullable, `ev.isNull` is the literal `false` (not a variable) —
+    * assigning it would generate uncompilable Java (`false = true;`) and
+    * silently fall back to interpreted execution — so the null branch is
+    * only emitted for nullable expressions (whose compute() may return
+    * null); non-nullable computes never do, by contract. */
   def callCompute(ctx: CodegenContext, ev: ExprCode, expr: Expression,
                   dt: DataType, args: String): String = {
     val ref = ctx.addReferenceObj("nativeExpr", expr, expr.getClass.getName)
@@ -31,10 +36,16 @@ object NativeCodegen {
       case BooleanType => s"((java.lang.Boolean) $r).booleanValue()"
       case _ => s"(${CodeGenerator.javaType(dt)}) $r"
     }
-    s"""
-       |Object $r = $ref.compute($args);
-       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $unbox; }
-     """.stripMargin
+    if (expr.nullable)
+      s"""
+         |Object $r = $ref.compute($args);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $unbox; }
+       """.stripMargin
+    else
+      s"""
+         |Object $r = $ref.compute($args);
+         |${ev.value} = $unbox;
+       """.stripMargin
   }
 }
 
@@ -233,6 +244,8 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, dim: Int,
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  // can return null on a vector-length mismatch even for non-null inputs
+  override def nullable: Boolean = true
 
   def compute(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData].toFloatArray()

@@ -25,13 +25,35 @@ final class Ledger(dir: String) {
   private val file: Path = Paths.get(dir, "ledger.jsonl")
   Files.createDirectories(file.getParent)
 
-  private val UnitRe = """"unit"\s*:\s*"([^"]*)"""".r
+  // escape-aware: the captured value may contain \" and \\ sequences
+  // written by commit()'s escaper; unescape() inverts them so a unit name
+  // containing a quote round-trips and still matches on resume
+  private val UnitRe = """"unit"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+
+  private def unescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Work units already committed (survives restarts). */
   def committedUnits(): Set[String] =
     if (!Files.exists(file)) Set.empty
     else Files.readAllLines(file, UTF_8).asScala
-      .flatMap(l => UnitRe.findFirstMatchIn(l).map(_.group(1))).toSet
+      .flatMap(l => UnitRe.findFirstMatchIn(l).map(m => unescape(m.group(1)))).toSet
 
   /** Total rows recorded per unit — the delivery accounting trail. */
   def committedRows(): Map[String, Long] = {
@@ -39,7 +61,7 @@ final class Ledger(dir: String) {
     val RowsRe = """"rows"\s*:\s*(\d+)""".r
     Files.readAllLines(file, UTF_8).asScala.flatMap { l =>
       for {
-        u <- UnitRe.findFirstMatchIn(l).map(_.group(1))
+        u <- UnitRe.findFirstMatchIn(l).map(m => unescape(m.group(1)))
         r <- RowsRe.findFirstMatchIn(l).map(_.group(1).toLong)
       } yield u -> r
     }.toMap

@@ -42,7 +42,7 @@ object Push {
       val tmp = d.resolve(s".batch-$batchIndex.tmp")
       Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      Files.move(tmp, d.resolve(f"batch-$batchIndex%08d.jsonl"),
+      Files.move(tmp, d.resolve(f"batch-$batchIndex%016d.jsonl"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
@@ -63,8 +63,10 @@ object Push {
 
   /**
    * Deliver `df`'s rows (JSON-encoded) to `transport` in batches of
-   * `batchSize`. Batch ids are (partitionId << 20 | seq) so concurrent
-   * partitions never collide. Returns exact counts via accumulators.
+   * `batchSize`. Batch ids are (partitionId << 40 | seq) so concurrent
+   * partitions never collide — 2^40 batches per partition (a partition
+   * would need >10^12 rows at batchSize=1 to bleed into the next id
+   * space) × 2^23 partitions. Returns exact counts via accumulators.
    */
   def deliver(df: DataFrame, sinkId: String, batchSize: Int,
               transport: Transport, deadletterDir: String,
@@ -79,7 +81,7 @@ object Push {
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       var seq = 0L
       it.map(_.getString(0)).grouped(batchSize).foreach { batch =>
-        val batchId = (pid << 20) | seq
+        val batchId = (pid << 40) | seq
         seq += 1
         var attempt = 0
         var done = false

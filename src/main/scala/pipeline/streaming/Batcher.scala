@@ -70,10 +70,18 @@ object Batcher {
   def flushes(routed: DataFrame, batchSize: Int, flushMs: Long): Dataset[Flush] = {
     val spark = routed.sparkSession
     import spark.implicits._
+    // rows without an event time (undecodable lines keep null warc_ts and
+    // route to deadletter) cannot participate in TIME-based flushing — they
+    // stay on the ledger/deadletter accounting path, and dereferencing the
+    // null here would kill the query
     val in = routed
+      .filter(col("warc_ts").isNotNull)
       .select(col("sink"), col("warc_ts"))
       .withWatermark("warc_ts", "0 seconds")
       .as[In]
+    // NOTE state cardinality: one BState per SINK id — bounded by the
+    // configured destination set, so the zero-buffer rows kept to preserve
+    // the flush sequence counter are a handful, not a leak surface.
     in.groupByKey(_.sink)
       .flatMapGroupsWithState[BState, Flush](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

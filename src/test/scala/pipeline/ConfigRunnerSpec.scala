@@ -93,6 +93,33 @@ class ConfigRunnerSpec extends AnyFunSuite {
     runConfig("stdin_to_s3_config.json")
   }
 
+  test("file source with existing path + extension reads from disk, filtered") {
+    val s = sc
+    val dir = Files.createTempDirectory("cfg-file-src").toString
+    val lines = ConfigRunner.fixtureInput(s,
+      pipeline.config.SourceSpec("k8s", "file"), 40, 2)
+      .collect().map(_.getString(0))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/pod1.log"),
+      lines.take(25).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/pod2.log"),
+      lines.drop(25).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/scratch.tmp"),
+      "not a log line".getBytes("UTF-8"))
+    val src = pipeline.config.SourceSpec("k8s", "file",
+      path = Some(dir), extension = Some(".log"))
+    val docs = ConfigRunner.fromSource(src,
+      ConfigRunner.fixtureInput(s, src, 999, 2, readPaths = true))
+    // read from disk (40 lines, not 999 fixture rows); .tmp file excluded
+    assert(docs.count() == 40)
+    // WITHOUT the opt-in, the same spec synthesizes the fixture (golden
+    // tests must never depend on what exists at the config's host paths)
+    assert(ConfigRunner.fixtureInput(s, src, 999, 2).count() == 999)
+    assert(docs.filter(col("url").isNull).count() == 0)
+    // decoded docs match the originals byte-for-byte
+    val orig = Webtext.df(s, 40, 2).select("url", "text")
+    assert(docs.select("url", "text").exceptAll(orig).isEmpty)
+  }
+
   test("push sink batches respect batchSize, retry, and deadletter diversion") {
     val s = sc
     val docs = Webtext.df(s, 300, 4)
@@ -115,6 +142,22 @@ class ConfigRunnerSpec extends AnyFunSuite {
       deadletterDir = s"$out/dead", maxRetries = 1)
     assert(del2.delivered == 0 && del2.deadlettered == 300)
     assert(new java.io.File(s"$out/dead/hook2-deadletter").listFiles().nonEmpty)
+  }
+
+  test("ledger round-trips unit names with quotes/backslashes/control chars") {
+    val dir = Files.createTempDirectory("ledger-esc").toString
+    val ledger = new pipeline.io.Ledger(dir)
+    val units = Seq("plain", """with"quote""", """back\slash""", "tab\there", "nl\nline")
+    units.zipWithIndex.foreach { case (u, i) => ledger.commit(u, i + 1L) }
+    // every committed name resolves on resume — no re-staging loop
+    assert(new pipeline.io.Ledger(dir).committedUnits() == units.toSet)
+    assert(new pipeline.io.Ledger(dir).committedRows() ==
+      units.zipWithIndex.map { case (u, i) => u -> (i + 1L) }.toMap)
+    // and every line is still valid JSON
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "ledger.jsonl"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.forEach(l => assert(om.readTree(l).hasNonNull("unit")))
   }
 
   test("mqtt source carries bus metadata columns through decode") {

@@ -59,6 +59,13 @@ class ParsePathParitySpec extends AnyFunSuite {
     s"""{$goodTs,"request":{"method":null},"response":{"body_bytes_sent":""}}""",
     // duplicate ts where the LAST parses
     s"""{"ts":"junk",$goodTs}""",
+    // TRACKED FIELD bound to a container: readTree coerces asText→"" /
+    // asInt,asLong→0 — the fast path must match, not skip
+    s"""{$goodTs,"response":{"status":[500]}}""",
+    s"""{$goodTs,"request":{"method":"GET","method":[1]}}""",
+    s"""{$goodTs,"upstream":{"bytes_sent":{"x":1}}}""",
+    s"""{$goodTs,"response":{"status":{"a":1},"body_bytes_sent":[]},"request":{"uri":{}}}""",
+    s"""{$goodTs,"upstream":{"response_length":{"deep":{"x":[1]}},"bytes_sent":"7"}}""",
     // everything at once
     s"""{"x":[{"ts":"nope"}],$goodTs,"request":{"hdr":{"uri":"/fake"},"uri":"/real","z":{}},"upstream":{"bytes_sent":"9"},"response":{"status":502,"w":[[1],{}],"body_bytes_sent":"3"}}"""
   )
