@@ -414,6 +414,20 @@ object Oracle {
         |FROM lines""".stripMargin
     },
 
+    "q_corpus_clean" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |   CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |     t -> CASE WHEN t IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop
+        |  FROM documents
+        |  WHERE lang IN ('en','de','fr') AND doc_id IN (SELECT doc_id FROM k))
+        |SELECT doc_id, lang, n_tokens FROM f
+        |WHERE n_tokens >= 10
+        |  AND CASE WHEN n_tokens > 0
+        |        THEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END > 0""".stripMargin,
+
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS digest

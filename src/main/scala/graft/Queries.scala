@@ -359,6 +359,23 @@ object Queries {
       g.getField("msg").as("g_msg"))
   }
 
+  /** COMPOSITE training-data pipeline: exact-dedup keepers ∘ language
+    * allowlist ∘ quality thresholds — the ops composing as one relational
+    * plan (one digest shuffle + narrow filters), the shape a corpus-cleaning
+    * job actually runs. */
+  def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keepers = Dedup.exact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val f = TextAnalysis.qualityFeatures(col("text"))
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("lang").isin("en", "de", "fr"))
+      .withColumn("n_tokens", f.getField("n_tokens"))
+      .withColumn("stopword_ratio", f.getField("stopword_ratio"))
+      .filter(col("n_tokens") >= 10 && col("stopword_ratio") > 0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   /** Multimodal plumbing: opaque binary payload + portable features. */
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

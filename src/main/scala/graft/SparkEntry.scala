@@ -52,7 +52,8 @@ object SparkEntry {
     "q_quality" -> (Queries.qQuality _),
     "q_token_count" -> (Queries.qTokenCount _),
     "q_fingerprint" -> (Queries.qFingerprint _),
-    "q_multimodal" -> (Queries.qMultimodal _))
+    "q_multimodal" -> (Queries.qMultimodal _),
+    "q_corpus_clean" -> (Queries.qCorpusClean _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
