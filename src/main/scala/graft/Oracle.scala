@@ -362,7 +362,7 @@ object Oracle {
     "q_quality" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
         |   CAST(length(regexp_replace(text, '[A-Za-z0-9\s\x{0080}-\x{FFFF}]', '', 'g')) AS BIGINT) AS n_punct,
         |   CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
         |     t -> CASE WHEN t IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS BIGINT) AS n_stopwords,
@@ -375,8 +375,8 @@ object Oracle {
 
     "q_token_count" ->
       """SELECT doc_id,
-        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        | CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> t != '')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
         |FROM documents""".stripMargin,
 
@@ -418,7 +418,7 @@ object Oracle {
       """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |f AS (
         |  SELECT doc_id, lang,
-        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
         |   CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
         |     t -> CASE WHEN t IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop
         |  FROM documents

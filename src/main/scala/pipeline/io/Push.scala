@@ -47,16 +47,16 @@ object Push {
     }
   }
 
-  /** Transport that fails the first `failures` attempts — retry testing. */
+  /** Transport that fails the first `failures` attempts — retry testing.
+    * The counter is PER INSTANCE (a companion-static one would stop
+    * injecting failures for every transport constructed after the first). */
   final class FlakyTransport(inner: Transport, failures: Int) extends Transport {
+    private val counter = new java.util.concurrent.atomic.AtomicLong(0)
     override def send(sinkId: String, batchIndex: Long, lines: Seq[String]): Unit = {
-      if (FlakyTransport.counter.incrementAndGet() <= failures)
+      if (counter.incrementAndGet() <= failures)
         throw new RuntimeException(s"injected transport failure")
       inner.send(sinkId, batchIndex, lines)
     }
-  }
-  object FlakyTransport {
-    val counter = new java.util.concurrent.atomic.AtomicLong(0)
   }
 
   final case class Delivery(delivered: Long, deadlettered: Long, batches: Long)

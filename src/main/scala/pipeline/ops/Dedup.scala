@@ -20,18 +20,24 @@ import Portable._
 object Dedup {
 
   /** Exact dedup: groups by md5(text). Returns one row per distinct text:
-    * (keep = min id, n_dups). Shuffles 8-byte ids + 32-byte digests only. */
+    * (keep = min id, n_dups). Shuffles 8-byte ids + 32-byte digests only.
+    * NULL-text rows are excluded — md5(null) is null, and grouping them
+    * would conflate every null-text document into one "duplicate" group. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), md5(col(textCol).cast("binary")).as("digest"))
+      .filter(col("digest").isNotNull)
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Apply exact dedup: return the corpus with only the keeper row (min id)
     * of each duplicate-text group — the "clean the corpus" form of [[exact]].
-    * One digest shuffle + a semi-join back; text bytes are never shuffled. */
+    * One digest shuffle + a semi-join back; text bytes are never shuffled.
+    * Null-text rows pass through unconditionally (no content = nothing to
+    * deduplicate on; dropping them would silently delete distinct docs). */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepers = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
-    df.join(keepers, Seq(idCol), "left_semi")
+    df.filter(col(textCol).isNotNull).join(keepers, Seq(idCol), "left_semi")
+      .unionByName(df.filter(col(textCol).isNull))
   }
 
   /** MinHash signature as an array column — computed narrowly per row.
@@ -130,15 +136,26 @@ object Dedup {
    */
   def embedNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, planes: Int, dim: Int,
-                      tables: Int = 1): DataFrame = {
+                      tables: Int = 1,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // barrier: one signature pass feeds both self-join sides (ReusedExchange)
     val sigged = df.select(col(idCol).as("id"), posexplode(array(
         (0 until tables).map(t => pipeline.expr.PortableExprs
           .hyperplaneSig(col(vecCol), planes, dim, planeOffset = t * planes)): _*))
         .as(Seq("table", "bucket")))
       .repartition(col("id"))
-    val pairs = sigged.select(col("table"), col("bucket"), col("id").as("a"))
-      .join(sigged.select(col("table"), col("bucket"), col("id").as("b")),
+    // same quadratic hazard as minhashLsh's band buckets — degenerate
+    // vectors (shorter than `dim`) all land in bucket 0 of EVERY table, so
+    // an unguarded self-join over them is O(N²). Default unlimited keeps
+    // oracle parity; production callers set the cap.
+    val eligible =
+      if (maxBucketSize == Int.MaxValue) sigged
+      else sigged.join(
+        sigged.groupBy("table", "bucket").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize).select("table", "bucket"),
+        Seq("table", "bucket"), "left_semi")
+    val pairs = eligible.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(eligible.select(col("table"), col("bucket"), col("id").as("b")),
         Seq("table", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct() // OR across tables; ids only
@@ -158,8 +175,13 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    nGram: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // barrier: `sh` feeds sizes AND both equijoin sides — without it the
+    // shingle expression re-inlines into all three branches (3× tokenize+
+    // shingle per doc); below one exchange it evaluates once and the
+    // readers share a ReusedExchange (same fix as minhashLsh)
     val sh = df.select(col(idCol).as("id"),
       explode(pipeline.expr.PortableExprs.shingles(col(textCol), nGram)).as("sh"))
+      .repartition(col("id"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("id").as("a"), col("sh"))
       .join(sh.select(col("id").as("b"), col("sh")), Seq("sh"))

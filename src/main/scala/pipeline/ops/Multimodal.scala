@@ -62,6 +62,7 @@ object Multimodal {
    * schema and ordering are the real contract.
    */
   def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
       val (_, _, dur, ok) = StubCodecs.decode(a.kind, a.bytes)

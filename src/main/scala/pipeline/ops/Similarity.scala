@@ -37,15 +37,19 @@ object Similarity {
 
   /**
    * Deterministic random-hyperplane signature (portable): plane p, dim i
-   * weight = ±1 from bit parity of hash32("p:i"). sign bit = (v·r_p) > 0.
-   * Per-row, no shuffle; portable to the SQL oracle.
+   * weight = ±1 from bit parity of hash32("(p+planeOffset):i"). sign bit =
+   * (v·r_p) > 0. Per-row, no shuffle; portable to the SQL oracle.
+   * `planeOffset` selects an independent table for the OR-construction —
+   * this HOF twin carries it so the MULTI-TABLE production path has a
+   * cross-checked reference implementation too (parity-tested vs
+   * HyperplaneSigExpr at zero and nonzero offsets).
    */
-  def hyperplaneSig(vecCol: String, planes: Int, dim: Int) = {
+  def hyperplaneSig(vecCol: String, planes: Int, dim: Int, planeOffset: Int = 0) = {
     val v = col(vecCol)
     val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
       val dot = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
         (acc, i) => acc + v.getItem(i).cast("double") *
-          (pmod(hash32(concat(p.cast("string"), lit(":"), i.cast("string"))), lit(2L))
+          (pmod(hash32(concat((p + lit(planeOffset)).cast("string"), lit(":"), i.cast("string"))), lit(2L))
             .cast("double") * lit(2.0) - lit(1.0)))
       when(dot > 0, lit(1L)).otherwise(lit(0L))
     })

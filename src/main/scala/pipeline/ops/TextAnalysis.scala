@@ -19,7 +19,13 @@ object TextAnalysis {
     "de" -> Seq("über", "der", "und", "nicht"),
     "ja" -> Seq("東京", "の", "は"))
 
-  private def tokenArr(textCol: Column): Column = tokens(textCol)
+  /** NON-EMPTY tokens: whitespace split minus the empty fragments Spark's
+    * split emits for blank/whitespace-bordered text — a newline-only doc
+    * has 0 tokens, not 2 (Spark `trim` strips 0x20 only). The HASH
+    * operators (minhash/simhash/fingerprint) deliberately keep raw split
+    * semantics — their cross-engine oracles pin those. */
+  private def tokenArr(textCol: Column): Column =
+    filter(tokens(textCol), t => t =!= "")
 
   /** Count of tokens that appear in `marker`. */
   private def markerHits(toks: Column, markers: Seq[String]): Column =
@@ -40,9 +46,9 @@ object TextAnalysis {
     pick
   }
 
-  /** Token count by whitespace splitting; 0 for blank text. */
-  def tokenCount(textCol: Column): Column =
-    when(length(trim(textCol)) === 0, lit(0)).otherwise(size(tokens(textCol)))
+  /** Token count by whitespace splitting; 0 for blank text (including
+    * non-space whitespace — see [[tokenArr]]). */
+  def tokenCount(textCol: Column): Column = size(tokenArr(textCol))
 
   /** BPE-ish subword token estimate: count of matches of a GPT-2-style
     * pretokenizer regex (word pieces, numbers, punctuation runs). */

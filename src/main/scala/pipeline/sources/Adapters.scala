@@ -77,16 +77,22 @@ object Bus {
   }
 
   /** Deterministic bus-message fixture wrapping the Webtext docs: row i is
-    * published on `topic`, partitioned by url hash, offset = i. */
+    * published on `topic` with offset = i (recovered from the fixture url,
+    * like real per-partition log offsets are dense), partition = i mod
+    * `partitions`, timestamp = the doc's event time — every field is a pure
+    * function of i, so snapshots/replays are bit-stable across runs. */
   def fixture(spark: SparkSession, n: Long, topic: String,
-              partitions: Int = 4): DataFrame =
-    LineCodec.encode(Webtext.df(spark, n, partitions))
+              partitions: Int = 4): DataFrame = {
+    val docs = Webtext.df(spark, n, partitions)
+    val i = regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long")
+    docs.select(
+      to_json(struct(col("url"), col("warc_ts"), col("text"), col("lang"))).as("value"),
+      col("warc_ts").as("timestamp"), i.as("offset"))
       .withColumn("topic", lit(topic))
-      .withColumn("partition", pmod(xxhash64(col("value")), lit(partitions)).cast("int"))
-      .withColumn("offset", monotonically_increasing_id())
+      .withColumn("partition", pmod(col("offset"), lit(partitions)).cast("int"))
       .withColumn("key", lit(null).cast("string"))
-      .withColumn("timestamp", current_timestamp())
       .withColumn("qos", lit(1))
       .withColumn("retained", lit(false))
       .select(message.fieldNames.map(col).toSeq: _*)
+  }
 }

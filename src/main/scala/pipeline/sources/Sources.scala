@@ -59,6 +59,8 @@ object Sources {
 
   /** S7 fan-in: union N tagged sources; missing columns null-filled, like
     * the reference's per-source heterogeneous metadata. */
-  def fanIn(sources: Seq[DataFrame]): DataFrame =
+  def fanIn(sources: Seq[DataFrame]): DataFrame = {
+    require(sources.nonEmpty, "fan-in needs at least one source (empty config?)")
     sources.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

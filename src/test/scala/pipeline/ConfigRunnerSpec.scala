@@ -124,7 +124,6 @@ class ConfigRunnerSpec extends AnyFunSuite {
     val s = sc
     val docs = Webtext.df(s, 300, 4)
     val out = Files.createTempDirectory("push-test").toString
-    Push.FlakyTransport.counter.set(0)
     val flaky = new Push.FlakyTransport(new Push.LocalFileTransport(s"$out/pushed"), 2)
     val del = Push.deliver(docs.select("url", "lang"), "hook", 50, flaky,
       deadletterDir = s"$out/dead")
@@ -136,7 +135,6 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(lineCounts.sum == 300 && lineCounts.forall(_ <= 50))
 
     // a transport that never succeeds → whole batches divert to deadletter
-    Push.FlakyTransport.counter.set(0)
     val broken = new Push.FlakyTransport(new Push.LocalFileTransport(s"$out/p2"), Int.MaxValue)
     val del2 = Push.deliver(docs.select("url"), "hook2", 50, broken,
       deadletterDir = s"$out/dead", maxRetries = 1)

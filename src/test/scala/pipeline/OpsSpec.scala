@@ -63,8 +63,14 @@ class OpsSpec extends AnyFunSuite {
     }.toDF("vid", "vec")
     val both = vecs.select(
       Similarity.hyperplaneSig("vec", 6, 16).as("a"),
-      PortableExprs.hyperplaneSig(col("vec"), 6, 16).as("b"))
-    assert(both.filter(col("a") =!= col("b")).count() == 0)
+      PortableExprs.hyperplaneSig(col("vec"), 6, 16).as("b"),
+      // NONZERO planeOffset too: the OR-construction tables actually
+      // shipped (lshTopK/embedNearDupLsh) hash planes offset+p
+      Similarity.hyperplaneSig("vec", 6, 16, planeOffset = 12).as("a2"),
+      PortableExprs.hyperplaneSig(col("vec"), 6, 16, planeOffset = 12).as("b2"))
+    assert(both.filter(col("a") =!= col("b") || col("a2") =!= col("b2")).count() == 0)
+    // offset tables are genuinely independent signatures
+    assert(both.filter(col("a") =!= col("a2")).count() > 0)
   }
 
   test("exact dedup finds the seeded duplicate fraction") {
