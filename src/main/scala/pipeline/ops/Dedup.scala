@@ -175,21 +175,21 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    nGram: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // barrier: `sh` feeds sizes AND both equijoin sides — without it the
-    // shingle expression re-inlines into all three branches (3× tokenize+
-    // shingle per doc); below one exchange it evaluates once and the
-    // readers share a ReusedExchange (same fix as minhashLsh)
+    // barrier: shingles explode ONCE below one exchange. The per-doc size
+    // |A| is attached with a window over the SAME (id) partitioning — no
+    // extra exchange, and no separate `sizes` aggregate branch (a separate
+    // branch carries different self-join-disambiguation metadata, defeats
+    // ReusedExchange, and recomputes the shingles; plan-guard-tested).
     val sh = df.select(col(idCol).as("id"),
       explode(pipeline.expr.PortableExprs.shingles(col(textCol), nGram)).as("sh"))
       .repartition(col("id"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("id").as("a"), col("sh"))
-      .join(sh.select(col("id").as("b"), col("sh")), Seq("sh"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val inter = sh.select(col("id").as("a"), col("sh"), col("n").as("na"))
+      .join(sh.select(col("id").as("b"), col("sh"), col("n").as("nb")), Seq("sh"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), Seq("b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))

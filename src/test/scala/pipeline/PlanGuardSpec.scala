@@ -115,6 +115,40 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(sigEvals == 2, s"bucket signatures computed ${sigEvals}x (want tables=2):\n$plan")
   }
 
+  test("grok extraction: ONE expression eval inside whole-stage codegen") {
+    val s = sc
+    val dir = java.nio.file.Files.createTempDirectory("grok-plan").toString
+    Webtext.df(s, 300, 2).select("url", "text").write.mode("overwrite").parquet(dir)
+    val g = pipeline.expr.Grok.extract(col("text"),
+      "status=%{INT:status:int} bytes=%{INT:bytes:long} method=%{WORD:method}")
+    val df = s.read.parquet(dir).select(col("url"),
+      g.getField("status").as("st"), g.getField("bytes").as("b"),
+      g.getField("method").as("m"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` star prefix marks whole-stage-codegen operators; inside a
+    // codegen'd projection, subexpression elimination evaluates the (three
+    // textual) grokextractexpr references once — what must not happen is
+    // the Project falling OUT of codegen (no star), where each reference
+    // would re-run the regex
+    assert(plan.toLowerCase.contains("grokextractexpr"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*(")),
+      s"grok projection fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("ngram Jaccard: shingles computed once behind the barrier") {
+    val s = sc
+    val dir = java.nio.file.Files.createTempDirectory("ngram-plan").toString
+    Webtext.df(s, 300, 2).select("url", "text")
+      .withColumn("doc_id", xxhash64(col("url")))
+      .write.mode("overwrite").parquet(dir)
+    val df = pipeline.ops.Dedup.ngramJaccard(s.read.parquet(dir), "doc_id", "text")
+    df.collect()
+    val plan = finalPlan(df)
+    val evals = "shinglesexpr".r.findAllIn(plan.toLowerCase).size
+    assert(evals == 1, s"shingles computed $evals times (want 1):\n$plan")
+  }
+
   test("SQL surface: registered graft_* functions match the Column API") {
     val s = sc
     pipeline.expr.Functions.registerAll(s)
