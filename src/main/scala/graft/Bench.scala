@@ -24,9 +24,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
+    // a failed query must be VISIBLE in the bench output (a swallowed
+    // failure publishes its time-to-crash as a healthy-looking timing)
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -45,8 +48,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""failed":$failedJson,""" +
         s""""pipeline":{"rows":$pipeRows,"routed_rows":$routedRows,"sec":$pipeSec,""" +
         s""""docs_per_sec":${math.round(pipeRows / pipeSec)}}}""")
     spark.stop()

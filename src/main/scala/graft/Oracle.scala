@@ -21,6 +21,24 @@ object Oracle {
        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
        |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x+y)))""".stripMargin
 
+  /** Shared multi-table hyperplane-LSH candidate-pair CTEs (3 tables x 4
+    * planes over `embeddings`) — used by q_dedup_embed_lsh and
+    * q_dedup_near_apply so the bit-parity-critical bucket arithmetic has
+    * exactly one SQL copy. Yields CTE `pairs(a, b)`. */
+  private def lshPairsCte: String =
+    s"""WITH tb AS (SELECT unnest([0, 1, 2]) AS tbl),
+      |b AS (
+      |  SELECT e.vec_id, tb.tbl,
+      |   CAST(list_sum(list_transform(range(0, 4), pp ->
+      |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+      |       i -> CAST(e.embedding[i] AS DOUBLE) *
+      |            CAST((${h32("(tb.tbl*4+pp)||':'||(i-1)")} % 2)*2 - 1 AS DOUBLE))), (x,y) -> x+y) > 0
+      |          THEN (CAST(1 AS BIGINT) << pp) ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM embeddings e CROSS JOIN tb),
+      |pairs AS (
+      |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id)""".stripMargin
+
   private val shinglesSql =
     """CASE WHEN len(w) >= 3
       | THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
@@ -60,8 +78,11 @@ object Oracle {
         |GROUP BY 1""".stripMargin,
 
     "q_dedup_apply" ->
+      // null-text rows pass through unconditionally (Dedup.dropExactDuplicates
+      // semantics — md5(NULL) must not conflate distinct docs)
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+        |WHERE text IS NULL OR doc_id IN (
+        |  SELECT min(doc_id) FROM documents WHERE text IS NOT NULL GROUP BY md5(text))""".stripMargin,
 
     "q_truncate_guard" ->
       """SELECT doc_id,
@@ -183,8 +204,9 @@ object Oracle {
         |GROUP BY 1""".stripMargin,
 
     "q_dedup_exact" ->
+      // null digests excluded, matching Dedup.exact
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH words AS (
@@ -237,30 +259,18 @@ object Oracle {
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
 
     "q_dedup_embed" ->
-      """WITH a AS (SELECT vec_id AS a, embedding AS va FROM embeddings),
+      s"""WITH a AS (SELECT vec_id AS a, embedding AS va FROM embeddings),
         |b AS (SELECT vec_id AS b, embedding AS vb FROM embeddings),
         |scored AS (
-        |  SELECT a, b,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-        |      i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))), (x,y) -> x+y)
-        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-        |        i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))), (x,y) -> x+y))
-        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-        |        i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))), (x,y) -> x+y))) AS cos
+        |  SELECT a, b, ${cosSql("va", "vb")} AS cos
         |  FROM a JOIN b ON a < b)
         |SELECT a, b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
 
     "q_ann_cosine" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
         |scored AS (
-        |  SELECT qid, cid,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (a,b) -> a+b)
-        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a,b) -> a+b))
-        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-        |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (a,b) -> a+b))) AS cos
+        |  SELECT qid, cid, ${cosSql("qv", "cv")} AS cos
         |  FROM q JOIN c ON qid <> cid),
         |ranked AS (SELECT qid, cid, cos,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS rnk
@@ -300,36 +310,14 @@ object Oracle {
         |SELECT qid, cid, cos, rnk FROM rq WHERE rnk <= 5""".stripMargin,
 
     "q_dedup_embed_lsh" ->
-      s"""WITH tb AS (SELECT unnest([0, 1, 2]) AS tbl),
-        |b AS (
-        |  SELECT e.vec_id, tb.tbl,
-        |   CAST(list_sum(list_transform(range(0, 4), pp ->
-        |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-        |       i -> CAST(e.embedding[i] AS DOUBLE) *
-        |            CAST((${h32("(tb.tbl*4+pp)||':'||(i-1)")} % 2)*2 - 1 AS DOUBLE))), (x,y) -> x+y) > 0
-        |          THEN (CAST(1 AS BIGINT) << pp) ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM embeddings e CROSS JOIN tb),
-        |pairs AS (
-        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-        |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+      s"""$lshPairsCte,
         |scored AS (
         |  SELECT a, b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
         |  FROM pairs JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b)
         |SELECT a, b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
 
     "q_dedup_near_apply" ->
-      s"""WITH tb AS (SELECT unnest([0, 1, 2]) AS tbl),
-        |b AS (
-        |  SELECT e.vec_id, tb.tbl,
-        |   CAST(list_sum(list_transform(range(0, 4), pp ->
-        |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-        |       i -> CAST(e.embedding[i] AS DOUBLE) *
-        |            CAST((${h32("(tb.tbl*4+pp)||':'||(i-1)")} % 2)*2 - 1 AS DOUBLE))), (x,y) -> x+y) > 0
-        |          THEN (CAST(1 AS BIGINT) << pp) ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM embeddings e CROSS JOIN tb),
-        |pairs AS (
-        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-        |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+      s"""$lshPairsCte,
         |drops AS (
         |  SELECT DISTINCT b AS drop_id FROM pairs
         |  JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b
@@ -415,7 +403,7 @@ object Oracle {
     },
 
     "q_corpus_clean" ->
-      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL GROUP BY md5(text)),
         |f AS (
         |  SELECT doc_id, lang,
         |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,

@@ -57,13 +57,17 @@ object Queries {
     * `EventData[Data[@Name='LogonType']]` ≙ element_at(map, key)). */
   def qMapFilter(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    // try_element_at, NOT element_at: ANSI mode (Spark 4 default) throws
+    // MAP_KEY_DOES_NOT_EXIST for a missing key, while the oracle's
+    // json_extract -> CAST yields NULL and drops the row — a props payload
+    // without "k" must filter out, not kill the query
     t(s, dir, "events")
       .withColumn("props_map",
         from_json(col("props"), MapType(StringType, LongType)))
-      .filter(element_at(col("props_map"), "k") > 50)
+      .filter(try_element_at(col("props_map"), lit("k")) > 50)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_high"),
-        sum(element_at(col("props_map"), "k")).as("sum_k"))
+        sum(try_element_at(col("props_map"), lit("k"))).as("sum_k"))
   }
 
   /** Exact-dedup APPLIED: the surviving corpus rows (keeper per text). */

@@ -101,10 +101,15 @@ object ConfigRunner {
     val counts = Pipeline.countedWrite(prePartitioned, sinkIds, io, "routed",
       maxRecordsPerFile = minBatch)
 
+    // Reading one sink= partition directory: 'sink' is gone (it was the
+    // partition path) and 'day' comes back via partition discovery appended
+    // AFTER the explicit schema — re-attach 'sink' so the pushed/printed
+    // record shape equals the routed row exactly.
     def slice(id: String): DataFrame =
       spark.read.schema(new org.apache.spark.sql.types.StructType(
         schema.filterNot(f => f.name == "sink" || f.name == "day").toArray))
         .parquet(s"${io.path("routed")}/sink=$id")
+        .withColumn("sink", lit(id))
 
     spec.sinks.foreach { d =>
       d.kind match {
@@ -143,9 +148,7 @@ object ConfigRunner {
     val inputs = spec.sources
       .map(s => s.id -> fixtureInput(spark, s, n, cores, readPaths)).toMap
     val r = routed(spec, inputs)
-    val counts = deliver(spec, r, outDir,
-      new Push.LocalFileTransport(s"$outDir/pushed"))
-    counts.map { case (k, v) => k -> v }
+    deliver(spec, r, outDir, new Push.LocalFileTransport(s"$outDir/pushed"))
   }
 
   /** Raw frame in the wire shape each source kind consumes. With

@@ -75,8 +75,18 @@ object PipelineConfig {
 
     def str(n: JsonNode, field: String): Option[String] =
       Option(n.get(field)).filterNot(_.isNull).map(x => expandEnv(x.asText(), env))
+    // validated, env-expanded: Jackson's asInt() silently coerces any
+    // non-numeric string (e.g. an unexpanded "$NAME") to 0, which would
+    // turn maxLineLenKB/batchSize into destructive zeros
     def int(n: JsonNode, field: String): Option[Int] =
-      Option(n.get(field)).filterNot(_.isNull).map(_.asInt())
+      Option(n.get(field)).filterNot(_.isNull).map { x =>
+        if (x.isIntegralNumber) x.asInt()
+        else {
+          val s = expandEnv(x.asText(), env)
+          s.toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"config field '$field' must be an integer, got: '$s'"))
+        }
+      }
 
     /** map-shaped {id: {...}} or array-shaped [{...}] with type as id. */
     def entries(node: JsonNode): Seq[(String, JsonNode)] =

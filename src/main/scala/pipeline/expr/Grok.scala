@@ -112,7 +112,17 @@ object Grok {
       last = m.end()
     }
     sb.append(pattern, last, pattern.length)
-    Compiled(sb.toString, fields.result())
+    val out = Compiled(sb.toString, fields.result())
+    // Enforce the 'no raw capturing groups' contract at the TOP level (the
+    // dictionary is group-free by construction): a user '(' would silently
+    // shift every field to the wrong group index.
+    if (depth == 0) {
+      val actual = java.util.regex.Pattern.compile(out.regex).matcher("").groupCount()
+      require(actual == out.fields.length,
+        s"grok pattern has ${actual - out.fields.length} raw capturing group(s) — " +
+          s"use (?:...) for grouping: $pattern")
+    }
+    out
   }
 
   /** Column API: one-pass typed-struct extraction; null on no match. */

@@ -254,13 +254,20 @@ case class CosineSimExpr(left: Expression, right: Expression)
     // null — mirror that instead of silently truncating
     if (va.length != vb.length) return null
     val n = va.length
+    // one fused pass: each accumulator's addition order is unchanged vs
+    // three separate loops, so results stay bit-identical at a third of
+    // the array traversals (this runs per candidate pair in the exact
+    // verify stage — the hot inner loop)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < n) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
-    i = 0
-    while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
-    i = 0
-    while (i < vb.length) { nb += vb(i).toDouble * vb(i).toDouble; i += 1 }
+    while (i < n) {
+      val x = va(i).toDouble
+      val y = vb(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
   override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)

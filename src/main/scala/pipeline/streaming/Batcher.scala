@@ -39,6 +39,16 @@ object Batcher {
    * `newMinTs`) + current watermark → (flushes, remaining state).
    * Full batches flush by count; the remainder flushes by time when the
    * watermark has passed firstTs + flushMs, else it carries over.
+   *
+   * Approximation (deliberate, O(1) state): after count flushes drain full
+   * batches, the carried remainder INHERITS the buffer's first-event time
+   * — with count-only state the remainder's own earliest ts is unknowable
+   * without buffering per-event timestamps (unbounded state). The deadline
+   * therefore errs EARLY: a remainder can time-flush sooner than flushFreq
+   * after its own arrival, never later — which preserves the reference's
+   * latency bound ("flush at most flushFreq after buffering").
+   * `first_ts_ms` on a flush record is the buffer epoch, not necessarily
+   * the earliest event inside that specific flush.
    */
   def step(sink: String, prev: Option[BState], newN: Long, newMinTs: Long,
            batchSize: Int, flushMs: Long, watermarkMs: Long): (Seq[Flush], Option[BState]) = {
