@@ -325,6 +325,27 @@ object Oracle {
         |SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
         |WHERE vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin,
 
+    "q_dedup_components" ->
+      // transitive closure via recursive CTE: reach(node, r) = every id
+      // reachable from node over the symmetric pair graph; component =
+      // min reachable (same definition as min-label propagation)
+      s"""${lshPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |cand AS (
+        |  SELECT a, b FROM pairs
+        |  JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b
+        |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4),
+        |sym AS (SELECT a AS src, b AS dst FROM cand
+        |        UNION SELECT b, a FROM cand),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym),
+        |reach AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT reach.node, sym.dst AS r
+        |  FROM reach JOIN sym ON sym.src = reach.r
+        |)
+        |SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+        |FROM reach GROUP BY 1""".stripMargin,
+
     "q_parse_syslog" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(regexp_extract(

@@ -293,6 +293,13 @@ object Queries {
       .select(col("vec_id"), col("label").cast("long").as("label"))
   }
 
+  /** TRANSITIVE near-dup clusters: connected components over the LSH-gated
+    * candidate pairs (component id = min reachable vec_id) — the
+    * canonicalization a~b, b~c ⇒ {a,b,c} one cluster. */
+  def qDedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(qDedupEmbedLsh(s, dir))
+      .select(col("node").as("vec_id"), col("comp").as("component"))
+
   /** S3: syslog envelope strip, demonstrated end-to-end (envelope is
     * constructed deterministically so DuckDB can mirror it). */
   def qParseSyslog(s: SparkSession, dir: String): DataFrame = {

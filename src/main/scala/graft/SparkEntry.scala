@@ -42,6 +42,7 @@ object SparkEntry {
     "q_dedup_embed" -> (Queries.qDedupEmbed _),
     "q_dedup_embed_lsh" -> (Queries.qDedupEmbedLsh _),
     "q_dedup_near_apply" -> (Queries.qDedupNearApply _),
+    "q_dedup_components" -> (Queries.qDedupComponents _),
     "q_sessionize" -> (Queries.qSessionize _),
     "q_ann_cosine" -> (Queries.qAnnCosine _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),

@@ -168,6 +168,61 @@ object Dedup {
   }
 
   /**
+   * Connected components over a candidate-pair graph by iterative min-label
+   * propagation — the TRANSITIVE canonicalization of near-duplicate pairs
+   * (greedy drop-the-higher-id, as in q_dedup_near_apply, is not transitive:
+   * a~b, b~c leaves {a, c} both kept even though they share a cluster).
+   *
+   * Scale shape: each iteration is one join + one aggregate over (node,
+   * comp) pairs — label size is the node set, never the closure; hot
+   * components converge in O(log diameter) iterations for the
+   * near-dup-cluster graphs this feeds on (tiny diameters). Each iteration
+   * localCheckpoints to cut lineage (iterative Spark jobs otherwise stack
+   * plans). Deterministic: component id = min node id reachable.
+   *
+   * Returns (node, component).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // (1) candidate label for dst = min over neighbors' comps; keep own
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("comp")).as("ncomp"))
+      val propagated = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // (2) pointer jumping: comp := comp(comp) — halves the remaining path
+      // length every iteration, so a diameter-D chain converges in
+      // O(log D) rounds instead of O(D) (plain propagation alone walks one
+      // hop per round). comp is always itself a node id, so the self-join
+      // always resolves.
+      val next = propagated
+        .join(propagated.select(col("node").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("node"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
    * thresholded. The relational formulation: |A∩B| from a shingle
    * equijoin, |A∪B| = |A|+|B|−|A∩B|. Intended for LSH candidates or

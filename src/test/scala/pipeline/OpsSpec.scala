@@ -73,6 +73,23 @@ class OpsSpec extends AnyFunSuite {
     assert(both.filter(col("a") =!= col("a2")).count() > 0)
   }
 
+  test("connected components: chains merge transitively, islands stay apart") {
+    val s = sc
+    import s.implicits._
+    // two chains + one isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    val pairs = Seq((1L, 2L), (3L, 2L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("a", "b")
+    val comp = pipeline.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a long path converges too (worst case for label propagation)
+    val path = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val pc = pipeline.ops.Dedup.connectedComponents(path)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(pc.toSeq == Seq(0L))
+  }
+
   test("exact dedup finds the seeded duplicate fraction") {
     val d = docs(4000)
     val dups = Dedup.exact(d, "id", "text").filter(col("n_copies") > 1)
