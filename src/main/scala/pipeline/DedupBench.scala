@@ -20,6 +20,49 @@ object DedupBench {
         xxhash64(col("url")).as("id"), col("text"))
         .write.mode("overwrite").parquet(input)
     }
+    // --mode recall: measured MinHash-LSH recall against EXACT n-gram
+    // Jaccard ground truth (J >= 0.5) on a bounded subset, across
+    // (bands, rowsPerBand) settings — the empirical counterpart of the
+    // 1-(1-J^r)^b S-curve.
+    if (conf.get("--mode").contains("recall")) {
+      val nr = conf.getOrElse("--recallRows", "2000").toLong
+      val base = Webtext.df(spark, nr, 16)
+        .select(xxhash64(col("url")).as("id"), col("text"))
+      // the fixture corpus has only exact duplicates, so the borderline
+      // Jaccard region is synthesized: a variant replaces every k-th token
+      // (each replacement kills ~nGram shingles → k tunes the overlap)
+      def mutated(k: Int) = base.select(
+        (col("id") + lit(k.toLong)).as("id"),
+        array_join(transform(split(col("text"), " "),
+          (w, i) => when(pmod(i, lit(k)) === 0, concat(lit(s"mut$k"), i))
+            .otherwise(w)), " ").as("text"))
+      val sub = base.unionByName(mutated(4)).unionByName(mutated(8))
+        .unionByName(mutated(16)).cache()
+      sub.count()
+      // ground truth down to J >= 0.2 so the borderline region (where the
+      // 1-(1-J^r)^b S-curve actually discriminates) is populated — at the
+      // usual 0.5 threshold this fixture's truth is dominated by exact
+      // duplicates (J = 1), which every setting catches
+      val truth = Dedup.ngramJaccard(sub, "id", "text", nGram = 3, threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val bandsOfJ = Seq(
+        "j20_50" -> truth.filter { case (_, j) => j < 0.5 }.keySet,
+        "j50_80" -> truth.filter { case (_, j) => j >= 0.5 && j < 0.8 }.keySet,
+        "j80_100" -> truth.filter { case (_, j) => j >= 0.8 }.keySet)
+      Seq((2, 4), (4, 2), (4, 4), (8, 2), (8, 4)).foreach { case (bands, rows) =>
+        val t0 = System.nanoTime()
+        val cand = Dedup.minhashLsh(sub, "id", "text", 3, bands, rows)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val per = bandsOfJ.map { case (name, ts) =>
+          f""""$name":${if (ts.isEmpty) -1.0 else ts.intersect(cand).size.toDouble / ts.size}%.3f"""
+        }.mkString(",")
+        println(f"""{"bench":"minhash_recall","rows":$nr,"bands":$bands,"rowsPerBand":$rows,"truth_pairs":${truth.size},"candidate_pairs":${cand.size},$per,"sec":$sec%.2f}""")
+      }
+      spark.stop()
+      return
+    }
+
     val docs = spark.read.parquet(input)
     docs.limit(1000).count() // warm
     def time(name: String)(f: => Long): Unit = {
