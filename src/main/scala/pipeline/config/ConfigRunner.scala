@@ -25,9 +25,11 @@ import pipeline.stages.{Aggregate, Route, RouteRule}
  * `eventlog` (XPath `query` compiled to a pushed Column predicate),
  * `mqtt` (bus-message decode with topic subscription + metadata columns).
  *
- * Sink kinds: `s3`/`s3b` (partitioned table write; batchSize bounds file
- * rows), `printer` (stdout sample), `runreveal`/`webhook`/`mqtt` (batched
- * push via pipeline.io.Push with retry + deadletter).
+ * Sink kinds: `s3`/`s3b` (partitioned table write; file sizing is
+ * independent of the push-batch `batchSize` — see [[deliver]]), `printer`
+ * (stdout sample), `runreveal`/`webhook`/`mqtt` (batched push via
+ * pipeline.io.Push with retry + deadletter; `batchSize` bounds THOSE
+ * batches).
  */
 object ConfigRunner {
 
@@ -39,9 +41,11 @@ object ConfigRunner {
       case "file" | "scanner" | "stdin" =>
         LineCodec.decode(raw)
       case "journald" =>
-        // maxLineLenKB caps the event payload at the source
-        // (`examples/journald_to_s3batch_config.json:5`)
-        src.maxLineLenKB.foldLeft(LineCodec.decode(raw))(
+        // fielded decode: journald entries are key→value records, kept
+        // addressable as an `entries` map (SURVEY.md §1.3 — the same shape
+        // as eventlog EventData); maxLineLenKB caps the event payload at
+        // the source (`examples/journald_to_s3batch_config.json:5`)
+        src.maxLineLenKB.foldLeft(LineCodec.decodeJournald(raw))(
           (d, kb) => Sources.truncate(d, kb, "text"))
       case "nginx_syslog" | "syslog" =>
         LineCodec.decode(Sources.stripSyslog(raw, "value"))
@@ -69,6 +73,20 @@ object ConfigRunner {
 
   /** Build the full routed frame from a spec + per-source raw inputs. */
   def routed(spec: PipelineSpec, inputs: Map[String, DataFrame]): DataFrame = {
+    // grok'd sources all contribute a shared `grok` struct column; fan-in's
+    // unionByName(allowMissingColumns) null-fills MISSING columns but does
+    // not reconcile TYPE conflicts, so two sources grokking to different
+    // struct schemas would fail deep inside the union with an opaque
+    // AnalysisException — validate here with a config-shaped error instead
+    val grokSchemas = spec.sources.flatMap(s =>
+      s.grok.map(p => s.id -> pipeline.expr.Grok.compile(p).schema))
+    if (grokSchemas.map(_._2).distinct.size > 1)
+      throw new IllegalArgumentException(
+        "grok patterns across sources must extract the same fields " +
+          "(fan-in unions the shared 'grok' column); got: " +
+          grokSchemas.map { case (id, sch) =>
+            s"$id -> ${sch.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}"
+          }.mkString("; "))
     val srcs = spec.sources.map { s =>
       val raw = inputs.getOrElse(s.id,
         throw new IllegalArgumentException(s"no input bound for source '${s.id}'"))
@@ -95,11 +113,15 @@ object ConfigRunner {
     val outCols = routedDf.columns.filterNot(_ == "html").map(col).toSeq
     val prePartitioned = Pipeline.saltedWritePartitioning(
       routedDf.select(outCols: _*), writeTasks = None)
-    val minBatch = spec.sinks.filter(d => d.kind == "s3" || d.kind == "s3b")
-      .flatMap(_.batchSize.map(_.toLong)).minOption.getOrElse(1000000L)
+    // `batchSize` is a PUSH-batch bound (events per webhook POST / raw-event
+    // S3 object — `examples/stdin_to_s3_config.json:14` says 100), NOT a
+    // columnar-file row bound: mapping it onto maxRecordsPerFile would write
+    // 100-row parquet files (~10^10 files at 10^12 rows — the classic
+    // object-store/namenode small-file catastrophe). Table files are sized
+    // independently (the TableIO default, ~10^6 rows/file); batchSize binds
+    // only Push.deliver batches below.
     val schema = prePartitioned.schema
-    val counts = Pipeline.countedWrite(prePartitioned, sinkIds, io, "routed",
-      maxRecordsPerFile = minBatch)
+    val counts = Pipeline.countedWrite(prePartitioned, sinkIds, io, "routed")
 
     // Reading one sink= partition directory: 'sink' is gone (it was the
     // partition path) and 'day' comes back via partition discovery appended

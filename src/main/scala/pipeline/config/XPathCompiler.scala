@@ -95,8 +95,11 @@ object XPathCompiler {
       } else {
         val start = pos
         if (pos < s.length && s(pos) == '-') pos += 1
+        val digitsStart = pos
         while (pos < s.length && s(pos).isDigit) pos += 1
-        if (pos == start) err("expected literal")
+        // a lone '-' must err through the parser (positioned message), not
+        // leak a raw NumberFormatException from toLong
+        if (pos == digitsStart) err("expected literal")
         lit(s.substring(start, pos).toLong)
       }
     }

@@ -45,7 +45,12 @@ object Grok {
     "IP" -> "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}",
     "HOSTNAME" -> "[A-Za-z0-9][A-Za-z0-9._-]*",
     "USER" -> "[a-zA-Z0-9._-]+",
-    "PATH" -> "(?:/[^ ?\\n]*)+",
+    // single quantifier: the inner class already matches '/', so one
+    // /[^ ?\n]* covers multi-segment paths — the nested (?:/...)+ form is an
+    // ambiguous quantifier that backtracks catastrophically in java.util.regex
+    // on adversarial non-matching lines (RE2 on the oracle side is immune,
+    // so runtime cost would also diverge between engines)
+    "PATH" -> "/[^ ?\\n]*",
     "URIPARAM" -> "\\?[^ \\n]*",
     "QUOTEDSTRING" -> "\"[^\"]*\"",
     "UUID" -> "[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",

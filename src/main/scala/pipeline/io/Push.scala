@@ -47,19 +47,56 @@ object Push {
     }
   }
 
-  /** Transport that fails the first `failures` attempts — retry testing.
-    * The counter is PER INSTANCE (a companion-static one would stop
-    * injecting failures for every transport constructed after the first). */
+  /** Transport that fails the first `failures` attempts GLOBALLY — retry
+    * testing. The budget lives in a JVM-static map keyed by a per-instance
+    * token: a plain instance field would deserialize into a fresh counter
+    * copy per task closure, injecting `failures` per PARTITION rather than
+    * per transport (local mode shares the JVM, so the static map is exact;
+    * a second FlakyTransport gets its own token, so instances stay
+    * independent). */
   final class FlakyTransport(inner: Transport, failures: Int) extends Transport {
-    private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    private val token = java.util.UUID.randomUUID().toString
     override def send(sinkId: String, batchIndex: Long, lines: Seq[String]): Unit = {
-      if (counter.incrementAndGet() <= failures)
+      if (FlakyTransport.counterFor(token).incrementAndGet() <= failures)
         throw new RuntimeException(s"injected transport failure")
       inner.send(sinkId, batchIndex, lines)
     }
   }
 
+  object FlakyTransport {
+    private val counters =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    private def counterFor(token: String) =
+      counters.computeIfAbsent(token, _ => new java.util.concurrent.atomic.AtomicLong(0))
+  }
+
   final case class Delivery(delivered: Long, deadlettered: Long, batches: Long)
+
+  /** Send ONE batch with capped-backoff retry; on final failure divert the
+    * whole batch to the deadletter directory (at-least-once, never silent
+    * loss). Executor-side. Returns true iff delivered. Shared by the batch
+    * path ([[deliver]]) and the streaming flush path
+    * (pipeline.streaming.Batcher event flushes → Transport batches). */
+  def sendWithRetry(transport: Transport, sinkId: String, batchId: Long,
+                    lines: Seq[String], maxRetries: Int,
+                    deadletterDir: String): Boolean = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      try {
+        transport.send(sinkId, batchId, lines)
+        return true
+      } catch {
+        case _: Exception if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(math.min(1000L, 10L << attempt)) // capped backoff
+        case _: Exception =>
+          new LocalFileTransport(deadletterDir)
+            .send(s"$sinkId-deadletter", batchId, lines)
+          return false
+      }
+    }
+    false
+  }
 
   /**
    * Deliver `df`'s rows (JSON-encoded) to `transport` in batches of
@@ -83,26 +120,10 @@ object Push {
       it.map(_.getString(0)).grouped(batchSize).foreach { batch =>
         val batchId = (pid << 40) | seq
         seq += 1
-        var attempt = 0
-        var done = false
-        while (!done && attempt <= maxRetries) {
-          try {
-            transport.send(sinkId, batchId, batch)
-            done = true
-            delivered.add(batch.size)
-            batches.add(1)
-          } catch {
-            case _: Exception if attempt < maxRetries =>
-              attempt += 1
-              Thread.sleep(math.min(1000L, 10L << attempt)) // capped backoff
-            case _: Exception =>
-              // final failure: divert the whole batch to deadletter, never drop
-              new LocalFileTransport(deadletterDir)
-                .send(s"$sinkId-deadletter", batchId, batch)
-              dead.add(batch.size)
-              done = true
-          }
-        }
+        if (sendWithRetry(transport, sinkId, batchId, batch, maxRetries, deadletterDir)) {
+          delivered.add(batch.size)
+          batches.add(1)
+        } else dead.add(batch.size)
       }
     }
     Delivery(delivered.value, dead.value, batches.value)

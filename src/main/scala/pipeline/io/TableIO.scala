@@ -25,9 +25,11 @@ final class ParquetTableIO(root: String) extends TableIO {
     spark.read.parquet(path(table))
 
   /**
-   * Partitioned write. `maxRecordsPerFile` is the columnar analog of the
-   * reference's destination `batchSize` (`examples/stdin_to_s3_config.json:14`):
-   * it bounds output batch size regardless of partition skew.
+   * Partitioned write. `maxRecordsPerFile` bounds rows per output file
+   * regardless of partition skew. It is DELIBERATELY independent of the
+   * reference's destination `batchSize` (a push-batch bound — events per
+   * webhook POST; `examples/stdin_to_s3_config.json:14` says 100, and
+   * 100-row parquet files would be a small-file catastrophe at scale).
    */
   override def write(df: DataFrame, table: String, partitionCols: Seq[String],
                      maxRecordsPerFile: Long = 1000000L): Unit = {

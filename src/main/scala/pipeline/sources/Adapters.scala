@@ -35,6 +35,26 @@ object LineCodec {
       .select(col("_doc.url").as("url"), col("_doc.warc_ts").as("warc_ts"),
         lit(null).cast(BinaryType).as("html"),
         col("_doc.text").as("text"), col("_doc.lang").as("lang"))
+
+  /**
+   * Journald fielded decode: a journald entry is a flat key→value record
+   * (`journalctl -o json`: MESSAGE, PRIORITY, _SYSTEMD_UNIT, …), so besides
+   * the doc shape the FULL record rides along as `entries
+   * map<string,string>` — the same addressable shape as Windows EventData
+   * (`examples/windows/README.md:169`), so `element_at(entries, 'KEY')`
+   * filters and per-field grok work exactly like eventlog's
+   * `EventData['K']`. ONE json parse feeds both projections (from_json of
+   * the same input collapses in codegen); undecodable lines null both.
+   */
+  def decodeJournald(lines: DataFrame, valueCol: String = "value"): DataFrame =
+    lines
+      .withColumn("_doc", from_json(col(valueCol), wire))
+      .withColumn("entries",
+        from_json(col(valueCol), MapType(StringType, StringType)))
+      .select(col("_doc.url").as("url"), col("_doc.warc_ts").as("warc_ts"),
+        lit(null).cast(BinaryType).as("html"),
+        col("_doc.text").as("text"), col("_doc.lang").as("lang"),
+        col("entries"))
 }
 
 /**

@@ -93,6 +93,60 @@ class ConfigRunnerSpec extends AnyFunSuite {
     runConfig("stdin_to_s3_config.json")
   }
 
+  test("sink batchSize does NOT cap parquet file rows (small-file guard)") {
+    // the reference's canonical configs say batchSize=100
+    // (`examples/stdin_to_s3_config.json:14`) — that bounds PUSH batches,
+    // not columnar files; a faithful config run must not write 100-row
+    // parquet files (≈10^10 files at 10^12 rows)
+    val s = sc
+    val spec = PipelineConfig.load(s"$RefDir/stdin_to_s3_config.json")
+    assert(spec.sinks.head.batchSize.contains(100))
+    val n = 2000L
+    val inputs = spec.sources.map(src =>
+      src.id -> ConfigRunner.fixtureInput(s, src, n, 4)).toMap
+    val out = Files.createTempDirectory("cfg-filesize").toString
+    ConfigRunner.deliver(spec, ConfigRunner.routed(spec, inputs), out,
+      new Push.LocalFileTransport(s"$out/pushed"))
+    val rowsPerFile = s.read.parquet(s"$out/routed")
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    // file count stays O(write partitions), and at least one file proves
+    // the 100-row cap is gone
+    assert(rowsPerFile.length <= 40, s"too many files: ${rowsPerFile.length}")
+    assert(rowsPerFile.max > 100, s"files still capped at batchSize: ${rowsPerFile.max}")
+  }
+
+  test("journald source decodes fielded entries map (EventData-shaped)") {
+    val s = sc
+    val src = pipeline.config.SourceSpec("jd", "journald", maxLineLenKB = Some(200))
+    val docs = ConfigRunner.fromSource(src, ConfigRunner.fixtureInput(s, src, 50, 2))
+    assert(docs.columns.contains("entries"))
+    // every decoded entry is addressable by key, like EventData['K']
+    val langs = docs.filter(try_element_at(col("entries"), lit("lang")) === col("lang"))
+    assert(langs.count() == docs.filter(col("lang").isNotNull).count())
+    // and the map holds the full fielded record
+    assert(docs.filter(try_element_at(col("entries"), lit("url")) === col("url"))
+      .count() == docs.filter(col("url").isNotNull).count())
+  }
+
+  test("conflicting grok schemas across sources fail with a config-shaped error") {
+    val s = sc
+    val spec = pipeline.config.PipelineSpec(
+      sources = Seq(
+        pipeline.config.SourceSpec("a", "file", grok = Some("n=%{INT:n:int}")),
+        pipeline.config.SourceSpec("b", "file", grok = Some("w=%{WORD:w}"))),
+      sinks = Seq(pipeline.config.SinkSpec("s3", "s3")),
+      rules = Nil)
+    val inputs = spec.sources.map(src =>
+      src.id -> ConfigRunner.fixtureInput(s, src, 10, 2)).toMap
+    val e = intercept[IllegalArgumentException](ConfigRunner.routed(spec, inputs))
+    assert(e.getMessage.contains("grok") && e.getMessage.contains("a ->"))
+    // same schema from both sources is fine
+    val ok = spec.copy(sources = spec.sources.map(_.copy(grok = Some("n=%{INT:n:int}"))))
+    val okInputs = ok.sources.map(src =>
+      src.id -> ConfigRunner.fixtureInput(s, src, 10, 2)).toMap
+    assert(ConfigRunner.routed(ok, okInputs).count() > 0)
+  }
+
   test("file source with existing path + extension reads from disk, filtered") {
     val s = sc
     val dir = Files.createTempDirectory("cfg-file-src").toString
@@ -208,6 +262,11 @@ class XPathCompilerSpec extends AnyFunSuite {
     val lt = docs.filter(XPathCompiler.compile("*[System[Level<=2]]")).count()
     assert(lt == refCount(i => EventLog.level(i) <= 2))
     intercept[IllegalArgumentException](XPathCompiler.compile("*[Bogus[x=1]]"))
+    // a lone '-' literal errs through the parser (positioned message),
+    // never a raw NumberFormatException
+    val e = intercept[IllegalArgumentException](
+      XPathCompiler.compile("*[System[EventID=-]]"))
+    assert(e.getMessage.contains("bad eventlog query"), e.getMessage)
   }
 
   test("System[...] predicates push down to the parquet scan") {
