@@ -437,9 +437,76 @@ object Oracle {
         |  AND CASE WHEN n_tokens > 0
         |        THEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END > 0""".stripMargin,
 
+    "q_journald_fields" ->
+      // the Spark side round-trips through to_json → MapType decode →
+      // element_at; values are pure functions of doc columns, so the oracle
+      // computes them directly (null text ⇒ MESSAGE key omitted ⇒ null
+      // length, skipped by sum on both engines)
+      """SELECT 'app-' || source || '.service' AS unit,
+        | count(*) AS n_entries,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_msg_chars
+        |FROM documents WHERE doc_id % 8 <= 3 GROUP BY 1""".stripMargin,
+
+    "q_grok_httpd" -> {
+      // same compiled expansion as the Spark side; field k = capture group k.
+      // Fields: 1 clientip, 2 ident, 3 auth, 4 timestamp, 5 verb, 6 request,
+      // 7 httpversion, 8 response, 9 bytes, 10 referrer, 11 agent.
+      // bytes takes the '-' branch on doc_id%10=0: Java's non-participating
+      // group is null, DuckDB's regexp_extract is '' → nullif before cast.
+      val re = pipeline.expr.Grok.compile("%{COMBINEDAPACHELOG}").regex
+        .replace("'", "''")
+      val line =
+        """'10.1.' || CAST(doc_id % 256 AS VARCHAR) ||
+          | '.' || CAST((doc_id * 3) % 256 AS VARCHAR) ||
+          | ' - u' || CAST(doc_id % 50 AS VARCHAR) ||
+          | ' [01/Jan/2026:12:00:0' || CAST(doc_id % 10 AS VARCHAR) ||
+          | ' +0000] "' || CASE WHEN doc_id % 2 = 0 THEN 'GET' ELSE 'POST' END ||
+          | ' /p/' || CAST(doc_id AS VARCHAR) ||
+          | ' HTTP/1.1" ' || CAST(200 + doc_id % 5 AS VARCHAR) ||
+          | ' ' || CASE WHEN doc_id % 10 = 0 THEN '-' ELSE CAST(n_chars AS VARCHAR) END ||
+          | ' "http://ref.example/' || CAST(doc_id % 7 AS VARCHAR) ||
+          | '" "UA/' || CAST(doc_id % 3 AS VARCHAR) ||
+          | ' t' || substr(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 8) ||
+          | '"'""".stripMargin
+      // the name-list regexp_extract variant: the integer-group form caps
+      // at group 9, and this format has 11 capture groups. A NULL line
+      // yields a NULL struct (→ all-null fields, same as Spark); every
+      // non-null fixture line matches by construction, so DuckDB's
+      // no-match '' struct never surfaces.
+      s"""WITH lines AS (SELECT doc_id, $line AS l FROM documents),
+        |g AS (SELECT doc_id, regexp_extract(l, '$re',
+        |  ['clientip','ident','auth','ts','verb','request','httpversion',
+        |   'response','bytes','referrer','agent']) AS s FROM lines)
+        |SELECT doc_id,
+        | s.clientip AS g_clientip,
+        | s.auth AS g_auth,
+        | s.ts AS g_ts,
+        | s.verb AS g_verb,
+        | s.request AS g_request,
+        | s.httpversion AS g_httpversion,
+        | CAST(s.response AS INTEGER) AS g_response,
+        | TRY_CAST(nullif(s.bytes, '') AS BIGINT) AS g_bytes,
+        | s.referrer AS g_referrer,
+        | s.agent AS g_agent
+        |FROM g""".stripMargin
+    },
+
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_image" ->
+      // the Spark side ENCODES a real PNG per row and DECODES its header
+      // back through javax.imageio; dims are pure functions of doc_id and
+      // the magic is the fixed 8-byte PNG signature, so the oracle states
+      // the expected values directly — a stubbed codec cannot reproduce
+      // them from the payload
+      """SELECT doc_id,
+        | CAST(doc_id % 64 + 1 AS INTEGER) AS img_w,
+        | CAST(doc_id % 48 + 1 AS INTEGER) AS img_h,
+        | 'png' AS img_format,
+        | '89504E470D0A1A0A' AS magic_hex
         |FROM documents""".stripMargin
   )
 }

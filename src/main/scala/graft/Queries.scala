@@ -370,6 +370,71 @@ object Queries {
       g.getField("msg").as("g_msg"))
   }
 
+  /** Journald FIELDED decode (S2): a journald-style JSON entry synthesized
+    * deterministically from doc columns → MapType decode (the exact
+    * `entries` shape ConfigRunner's journald source produces) → map-lookup
+    * filter + aggregate, the EventData-style addressing
+    * (`examples/windows/README.md:169`). Null-text docs omit MESSAGE from
+    * the JSON (to_json drops nulls), so the map lookup nulls that field —
+    * both engines then skip it in the sum. */
+  def qJournaldFields(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val line = to_json(struct(
+      pmod(col("doc_id"), lit(8L)).cast("string").as("PRIORITY"),
+      concat(lit("app-"), col("source"), lit(".service")).as("_SYSTEMD_UNIT"),
+      col("text").as("MESSAGE")))
+    t(s, dir, "documents")
+      .withColumn("entries", from_json(line, MapType(StringType, StringType)))
+      .filter(try_element_at(col("entries"), lit("PRIORITY")).cast("long") <= 3)
+      .groupBy(try_element_at(col("entries"), lit("_SYSTEMD_UNIT")).as("unit"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(length(try_element_at(col("entries"), lit("MESSAGE")))).as("sum_msg_chars"))
+  }
+
+  /** HTTPD combined-log line synthesized from doc columns (regex-safe
+    * pieces only; doc_id % 10 == 0 rows take the dashed-bytes branch).
+    * concat() null-propagates, so null-text docs yield a null line on BOTH
+    * engines (DuckDB `||` is also null-propagating) → all-null fields. */
+  def httpdLine: org.apache.spark.sql.Column = concat(
+    lit("10.1."), pmod(col("doc_id"), lit(256L)).cast("string"),
+    lit("."), pmod(col("doc_id") * 3, lit(256L)).cast("string"),
+    lit(" - u"), pmod(col("doc_id"), lit(50L)).cast("string"),
+    lit(" [01/Jan/2026:12:00:0"), pmod(col("doc_id"), lit(10L)).cast("string"),
+    lit(" +0000] \""),
+    when(pmod(col("doc_id"), lit(2L)) === 0, lit("GET")).otherwise(lit("POST")),
+    lit(" /p/"), col("doc_id").cast("string"),
+    lit(" HTTP/1.1\" "), (lit(200L) + pmod(col("doc_id"), lit(5L))).cast("string"),
+    lit(" "),
+    when(pmod(col("doc_id"), lit(10L)) === 0, lit("-"))
+      .otherwise(col("n_chars").cast("string")),
+    lit(" \"http://ref.example/"), pmod(col("doc_id"), lit(7L)).cast("string"),
+    lit("\" \"UA/"), pmod(col("doc_id"), lit(3L)).cast("string"),
+    // alnum+space only: quotes/newlines/backslashes in text would break the
+    // quoted-field framing (and a non-matching row would diverge between
+    // Java's null group and DuckDB's '' on string fields)
+    lit(" t"), substring(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), 1, 8),
+    lit("\""))
+
+  /** Grok classic composition: ONE `%{COMBINEDAPACHELOG}` reference expands
+    * the full HTTPD combined-log schema (11 typed fields) — the pattern-base
+    * breadth a reveald-shaped pipeline needs daily (the nginx conf,
+    * `examples/nginx_json.conf:50-79`, is the JSON twin of this format). */
+  def qGrokHttpd(s: SparkSession, dir: String): DataFrame = {
+    val g = pipeline.expr.Grok.extract(httpdLine, "%{COMBINEDAPACHELOG}")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      g.getField("clientip").as("g_clientip"),
+      g.getField("auth").as("g_auth"),
+      g.getField("timestamp").as("g_ts"),
+      g.getField("verb").as("g_verb"),
+      g.getField("request").as("g_request"),
+      g.getField("httpversion").as("g_httpversion"),
+      g.getField("response").as("g_response"),
+      g.getField("bytes").as("g_bytes"),
+      g.getField("referrer").as("g_referrer"),
+      g.getField("agent").as("g_agent"))
+  }
+
   /** COMPOSITE training-data pipeline: exact-dedup keepers ∘ language
     * allowlist ∘ quality thresholds — the ops composing as one relational
     * plan (one digest shuffle + narrow filters), the shape a corpus-cleaning
@@ -395,4 +460,23 @@ object Queries {
         col("doc_id"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("digest"))
+
+  /** REAL image codec round-trip (JDK `javax.imageio`, zero external jars):
+    * a deterministic (doc_id-derived) PNG is ENCODED per row, then its
+    * header is DECODED back — the oracle knows the expected dims (pure
+    * functions of doc_id) and the 8-byte PNG signature, so a fake/stubbed
+    * codec cannot pass. Audio/video stay documented stubs
+    * (pipeline.ops.Multimodal.Codecs). */
+  def qMultimodalImage(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(64L)) + 1).cast("int")
+    val h = (pmod(col("doc_id"), lit(48L)) + 1).cast("int")
+    val png = pipeline.expr.ImageExprs.pngEncode(w, h)
+    val dims = pipeline.expr.ImageExprs.imageDims(png)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      dims.getField("width").as("img_w"),
+      dims.getField("height").as("img_h"),
+      dims.getField("format").as("img_format"),
+      hex(substring(png, 1, 8)).as("magic_hex"))
+  }
 }

@@ -49,11 +49,14 @@ object SparkEntry {
     "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_parse_syslog" -> (Queries.qParseSyslog _),
     "q_grok_extract" -> (Queries.qGrokExtract _),
+    "q_grok_httpd" -> (Queries.qGrokHttpd _),
+    "q_journald_fields" -> (Queries.qJournaldFields _),
     "q_lang_id" -> (Queries.qLangId _),
     "q_quality" -> (Queries.qQuality _),
     "q_token_count" -> (Queries.qTokenCount _),
     "q_fingerprint" -> (Queries.qFingerprint _),
     "q_multimodal" -> (Queries.qMultimodal _),
+    "q_multimodal_image" -> (Queries.qMultimodalImage _),
     "q_corpus_clean" -> (Queries.qCorpusClean _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

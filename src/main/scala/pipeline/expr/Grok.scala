@@ -58,7 +58,31 @@ object Grok {
     "TIMESTAMP_ISO8601" ->
       "[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(?:\\.[0-9]+)?(?:Z|[+-][0-9]{2}:?[0-9]{2})?",
     "SYSLOGTIMESTAMP" -> "[A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2}",
-    "HTTPMETHOD" -> "(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)")
+    "HTTPMETHOD" -> "(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)",
+    // ---- classic composed line formats (grok convention: dictionary
+    // entries may carry NAMED references; their fields surface on the
+    // caller's struct in group order) ----
+    "MONTH" -> "\\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\\b",
+    "MONTHDAY" -> "(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "YEAR" -> "[0-9]{4}",
+    "TIME" -> "[0-9]{2}:[0-9]{2}:[0-9]{2}",
+    "HTTPDATE" -> "%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "IPORHOST" -> "(?:%{IPV4}|%{HOSTNAME})",
+    // HTTPD common log line (the format a log pipeline meets daily; the
+    // reference's nginx conf is the JSON twin, `examples/nginx_json.conf:50-79`)
+    "COMMONAPACHELOG" ->
+      ("%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \\[%{HTTPDATE:timestamp}\\] " +
+        "\"%{HTTPMETHOD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}\" " +
+        "%{INT:response:int} (?:%{INT:bytes:long}|-)"),
+    "COMBINEDAPACHELOG" ->
+      "%{COMMONAPACHELOG} \"%{DATA:referrer}\" \"%{DATA:agent}\"",
+    // full RFC3164-ish syslog line (program[pid]: message; pid optional).
+    // PROG excludes '[' / ':' so the optional pid bracket is unambiguous
+    // (a \S+ program would swallow "[pid]:" and force backtracking).
+    "PROG" -> "[A-Za-z0-9._/-]+",
+    "SYSLOGLINE" ->
+      ("%{SYSLOGTIMESTAMP:sl_ts} %{NOTSPACE:logsource} %{PROG:program}" +
+        "(?:\\[%{INT:pid:int}\\])?: %{GREEDYDATA:message}"))
 
   final case class Field(name: String, typ: String) {
     def dataType: DataType = typ match {

@@ -225,11 +225,22 @@ object Dedup {
   /**
    * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
    * thresholded. The relational formulation: |A∩B| from a shingle
-   * equijoin, |A∪B| = |A|+|B|−|A∩B|. Intended for LSH candidates or
-   * bounded subsets; keys are shingles (high cardinality → no skew).
+   * equijoin, |A∪B| = |A|+|B|−|A∩B|.
+   *
+   * Skew guard: on real web text the top shingles ("of the …") are
+   * near-ubiquitous, so an unguarded shingle equijoin degenerates toward
+   * O(N²) on those keys. `maxDocFreq` applies the standard DF-cap — a
+   * shingle appearing in more than `maxDocFreq` docs is dropped from
+   * CANDIDATE GENERATION only; surviving candidate pairs are then verified
+   * over their FULL shingle sets, so every emitted jaccard score is exact
+   * (identical to the uncapped value — spec-tested). The only loss is
+   * recall for pairs whose every common shingle is ubiquitous — the same
+   * candidates any LSH/DF-capped system trades away. Default = unlimited
+   * (exact parity with the SQL oracle).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   nGram: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   nGram: Int = 3, threshold: Double = 0.5,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // barrier: shingles explode ONCE below one exchange. The per-doc size
     // |A| is attached with a window over the SAME (id) partitioning — no
     // extra exchange, and no separate `sizes` aggregate branch (a separate
@@ -240,11 +251,32 @@ object Dedup {
       .repartition(col("id"))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")))
-    val inter = sh.select(col("id").as("a"), col("sh"), col("n").as("na"))
-      .join(sh.select(col("id").as("b"), col("sh"), col("n").as("nb")), Seq("sh"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("n_common"))
-    inter
+    val scored =
+      if (maxDocFreq == Int.MaxValue) {
+        sh.select(col("id").as("a"), col("sh"), col("n").as("na"))
+          .join(sh.select(col("id").as("b"), col("sh"), col("n").as("nb")), Seq("sh"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("n_common"))
+      } else {
+        // 1) candidates from RARE shingles only (df ≤ maxDocFreq): the
+        //    equijoin keys are bounded, so no key fans out quadratically
+        val rare = sh.join(
+          sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+            .filter(col("_df") <= maxDocFreq).select("sh"),
+          Seq("sh"), "left_semi")
+        val cand = rare.select(col("id").as("a"), col("sh"))
+          .join(rare.select(col("id").as("b"), col("sh")), Seq("sh"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        // 2) exact verify over FULL shingle sets, restricted to candidates:
+        //    attach a's shingles, then match b's — the equijoin now runs
+        //    only on candidate-pair rows, never the whole corpus
+        cand
+          .join(sh.select(col("id").as("a"), col("sh"), col("n").as("na")), Seq("a"))
+          .join(sh.select(col("id").as("b"), col("sh"), col("n").as("nb")), Seq("b", "sh"))
+          .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("n_common"))
+      }
+    scored
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))

@@ -3,14 +3,20 @@ package pipeline.ops
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import pipeline.expr.{ImageDimsExpr, PngEncodeExpr}
+
 /**
  * Multimodal-column plumbing: image/audio/video ride as opaque `binary`
  * columns with typed metadata. The Spark-side machinery (schema,
- * partition-friendly batch shape, per-partition decoder lifecycle) is
- * real and tested; the actual codec calls are STUBBED behind
- * [[StubCodecs]] with a deterministic fake (the image/audio libraries
- * are not in this container) — swap `StubCodecs` for a real binding
- * (e.g. TwelveMonkeys/JavaCV) on a cluster.
+ * partition-friendly batch shape, per-partition decoder lifecycle) is real
+ * and tested. Codecs:
+ *
+ *  - image: REAL — the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP ship with
+ *    the JDK; header-only dimension reads, full decode for resize) via
+ *    pipeline.expr.ImageExprs — no external jar;
+ *  - audio/video: STUBBED behind [[Codecs]] with a deterministic fake (no
+ *    audio/video libraries in this container) — swap for a real binding
+ *    (e.g. JavaCV) on a cluster; the seam and batch shape are unchanged.
  */
 object Multimodal {
 
@@ -21,35 +27,42 @@ object Multimodal {
   final case class MediaMeta(asset_id: Long, kind: String, n_bytes: Long,
                              width: Int, height: Int, duration_ms: Long, ok: Boolean)
 
-  /** Deterministic fake codec: "decodes" metadata from payload length and
-    * a stable byte checksum. Marked clearly as the stub seam. */
-  object StubCodecs {
-    /** STUB — replace with a real image/audio header parse on a cluster. */
+  /** Per-kind codec dispatch: image = real JDK ImageIO header parse;
+    * audio/video = deterministic stub (documented seam). */
+  object Codecs {
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Long, Boolean) = {
       if (bytes == null || bytes.isEmpty) return (0, 0, 0L, false)
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) { sum = (sum * 31 + (bytes(i) & 0xff)) & 0x7fffffff; i += 1 }
       kind match {
-        case "image" => (((sum % 1920) + 1).toInt, ((sum % 1080) + 1).toInt, 0L, true)
-        case "audio" | "video" => (0, 0, (sum % 600000) + 1, true)
+        case "image" =>
+          // REAL: header-only ImageIO read; unrecognized bytes → not ok
+          ImageDimsExpr.dims(bytes) match {
+            case Some((w, h, _)) => (w, h, 0L, true)
+            case None => (0, 0, 0L, false)
+          }
+        case "audio" | "video" =>
+          // STUB — deterministic fake from a stable byte checksum; replace
+          // with a real media header parse on a cluster
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum = (sum * 31 + (bytes(i) & 0xff)) & 0x7fffffff; i += 1 }
+          (0, 0, (sum % 600000) + 1, true)
         case _ => (0, 0, 0L, false)
       }
     }
   }
 
   /**
-   * Decode/feature-extract over binary payloads. `mapPartitions` so a real
-   * codec would be initialized once per partition (the per-partition
+   * Decode/feature-extract over binary payloads. `mapPartitions` so a
+   * heavyweight codec is initialized once per partition (the per-partition
    * decoder-lifecycle pattern), with rows streamed through — the Scala
    * analog of `mapInPandas` batch decoding.
    */
   def decodeMeta(assets: Dataset[MediaAsset]): Dataset[MediaMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real impl: val codec = Codec.open() here, close via CompletionIterator
+      // a stateful codec would be opened here, closed via CompletionIterator
       it.map { a =>
-        val (w, h, d, ok) = StubCodecs.decode(a.kind, a.bytes)
+        val (w, h, d, ok) = Codecs.decode(a.kind, a.bytes)
         MediaMeta(a.asset_id, a.kind,
           if (a.bytes == null) 0L else a.bytes.length.toLong, w, h, d, ok)
       }
@@ -58,14 +71,15 @@ object Multimodal {
 
   /**
    * Frame sampling plumbing: 1 video row → N frame rows (the UDTF/explode
-   * shape). Frame payloads are stubbed as byte slices; the row explosion,
-   * schema and ordering are the real contract.
+   * shape). Frame payloads are stubbed as byte slices (no video codec in
+   * this container); the row explosion, schema and ordering are the real
+   * contract.
    */
   def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long): DataFrame = {
     require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
-      val (_, _, dur, ok) = StubCodecs.decode(a.kind, a.bytes)
+      val (_, _, dur, ok) = Codecs.decode(a.kind, a.bytes)
       if (!ok) Iterator.empty
       else (0L until dur by everyMs).iterator.map { t =>
         val off = (t % math.max(a.bytes.length, 1)).toInt
@@ -75,31 +89,46 @@ object Multimodal {
   }
 
   /**
-   * Resize plumbing: image rows → fixed-target payloads. Real contract:
-   * per-partition codec lifecycle, output schema (asset_id, width, height,
-   * bytes), deterministic output sizing; the pixel work is the stub. On a
-   * cluster the inner function binds an actual scaler; everything around
-   * it (distribution, batching, schema) is unchanged.
+   * REAL image resize: decode via ImageIO, scale to fit (maxW, maxH)
+   * preserving aspect (never upscales), re-encode as PNG. Per-partition
+   * codec lifecycle; undecodable payloads are skipped (they belong to the
+   * deadletter path, not this operator's output).
    */
   def resize(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"bad resize bounds ${maxW}x$maxH")
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "image").mapPartitions { it =>
-      // real impl: scaler initialized once per partition here
       it.flatMap { a =>
-        val (w, h, _, ok) = StubCodecs.decode(a.kind, a.bytes)
-        if (!ok) Iterator.empty
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Iterator.empty
         else {
+          val (w, h) = (img.getWidth, img.getHeight)
           val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
           val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          // STUB pixels: deterministic truncation proportional to area ratio
-          val outLen = math.max(1, (a.bytes.length * (nw.toLong * nh) / math.max(1L, w.toLong * h)).toInt)
-          Iterator((a.asset_id, nw, nh, a.bytes.take(outLen)))
+          val scaled = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+          try javax.imageio.ImageIO.write(scaled, "png", ios) finally ios.close()
+          Iterator((a.asset_id, nw, nh, out.toByteArray))
         }
       }
     }.toDF("asset_id", "width", "height", "bytes")
   }
 
-  /** Column-only binary feature extraction (no stub needed): sizes and a
+  /** Deterministic real-PNG asset fixture (pure function of the id). */
+  def pngAsset(id: Long, w: Int, h: Int): MediaAsset =
+    MediaAsset(id, "image", PngEncodeExpr.encode(w, h))
+
+  /** Column-only binary feature extraction (no codec needed): sizes and a
     * magic-byte sniff — fully portable to the SQL oracle. */
   def binaryFeatures(df: DataFrame, bytesCol: String): DataFrame =
     df.withColumn("n_bytes", octet_length(col(bytesCol)).cast("long"))

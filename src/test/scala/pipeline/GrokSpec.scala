@@ -52,6 +52,42 @@ class GrokSpec extends AnyFunSuite {
     assert(r2.isNullAt(4) && r2.getDouble(5) == 0.5)
   }
 
+  test("classic compositions: COMBINEDAPACHELOG and SYSLOGLINE") {
+    val s = sc
+    import s.implicits._
+    // combined log: full 11-field schema from ONE dictionary reference
+    val c = Grok.compile("%{COMBINEDAPACHELOG}")
+    assert(c.fields.map(_.name) == Seq("clientip", "ident", "auth", "timestamp",
+      "verb", "request", "httpversion", "response", "bytes", "referrer", "agent"))
+    val logs = Seq(
+      """192.168.1.9 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326 "http://ref/x" "Mozilla/4.08 [en] (Win98)"""",
+      // dashed bytes → null long field, row survives
+      """10.0.0.1 - - [01/Jan/2026:00:00:00 +0000] "POST /p?q=1 HTTP/1.1" 404 - "-" "curl/8.0"""",
+      "not an access log").toDF("line")
+    val out = logs.select(Grok.extract(col("line"), "%{COMBINEDAPACHELOG}").as("g"))
+      .collect()
+    val r0 = out(0).getStruct(0)
+    assert(r0.getString(0) == "192.168.1.9" && r0.getString(2) == "frank")
+    assert(r0.getString(3) == "10/Oct/2000:13:55:36 -0700")
+    assert(r0.getString(4) == "GET" && r0.getString(5) == "/apache_pb.gif")
+    assert(r0.getInt(7) == 200 && r0.getLong(8) == 2326L)
+    assert(r0.getString(9) == "http://ref/x" && r0.getString(10).startsWith("Mozilla"))
+    val r1 = out(1).getStruct(0)
+    assert(r1.getInt(7) == 404 && r1.isNullAt(8)) // '-' bytes → null field
+    assert(out(2).isNullAt(0))
+    // syslog line: optional [pid] participates or nulls cleanly
+    val sys = Seq(
+      "Jan  1 00:00:01 web01 sshd[4321]: Accepted publickey for root",
+      "Jan  1 00:00:02 web01 kernel: oom-killer invoked").toDF("line")
+    val so = sys.select(Grok.extract(col("line"), "%{SYSLOGLINE}").as("g")).collect()
+    val s0 = so(0).getStruct(0)
+    assert(s0.getString(1) == "web01" && s0.getString(2) == "sshd" &&
+      s0.getInt(3) == 4321 && s0.getString(4).startsWith("Accepted"))
+    val s1 = so(1).getStruct(0)
+    assert(s1.getString(2) == "kernel" && s1.isNullAt(3) &&
+      s1.getString(4).startsWith("oom-killer"))
+  }
+
   test("SQL surface graft_grok == Column API; config grok wiring") {
     val s = sc
     import s.implicits._

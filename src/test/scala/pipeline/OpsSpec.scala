@@ -139,6 +139,26 @@ class OpsSpec extends AnyFunSuite {
     assert(j.filter(col("jaccard") === 1.0).count() >= nExact)
   }
 
+  test("ngramJaccard DF-cap: surviving pairs keep EXACT uncapped scores") {
+    val d = docs(1500)
+    val all = Dedup.ngramJaccard(d, "id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // a tight cap on this word-soup fixture actually drops shingles
+    val capped = Dedup.ngramJaccard(d, "id", "text", 3, 0.3, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(all.nonEmpty && capped.nonEmpty)
+    // candidates only shrink, never grow
+    assert(capped.keySet.subsetOf(all.keySet))
+    // exactness: every surviving pair scores bit-identically to the
+    // uncapped run (the cap gates candidate generation, not verification)
+    capped.foreach { case (k, v) => assert(all(k) == v, s"score drift at $k") }
+    // and exact-dup pairs (jaccard=1) survive any cap that leaves them a
+    // shared rare shingle
+    val ones = all.filter(_._2 == 1.0).keySet
+    val cappedOnes = capped.filter(_._2 == 1.0).keySet
+    assert(cappedOnes.subsetOf(ones))
+  }
+
   test("LSH ANN results are a score-consistent subset of brute force") {
     val s = sc
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -172,38 +192,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal decode plumbing: deterministic stub metadata + frames") {
+  test("multimodal decode: REAL JDK image codec + stub a/v metadata + frames") {
     val s = sc
     import s.implicits._
     import pipeline.ops.Multimodal._
     val assets = Seq(
-      MediaAsset(1L, "image", Array.tabulate(64)(_.toByte)),
+      pngAsset(1L, 320, 200),                                  // real PNG
       MediaAsset(2L, "video", Array.tabulate(256)(i => (i * 7).toByte)),
       MediaAsset(3L, "audio", Array.tabulate(32)(i => (i * 3).toByte)),
-      MediaAsset(4L, "image", Array.empty[Byte])).toDS()
+      MediaAsset(4L, "image", Array.empty[Byte]),
+      MediaAsset(5L, "image", Array.tabulate(64)(_.toByte))    // not an image
+    ).toDS()
     val meta = decodeMeta(assets).collect().sortBy(_.asset_id)
-    assert(meta.length == 4)
-    assert(meta(0).ok && meta(0).width > 0 && meta(0).height > 0)
+    assert(meta.length == 5)
+    // the image decode is REAL: exact header dims, not a checksum fake
+    assert(meta(0).ok && meta(0).width == 320 && meta(0).height == 200)
     assert(meta(1).ok && meta(1).duration_ms > 0)
     assert(!meta(3).ok)
+    assert(!meta(4).ok) // garbage bytes: no JDK reader claims them
     // determinism: same input → same metadata
     val meta2 = decodeMeta(assets).collect().sortBy(_.asset_id)
     assert(meta.toSeq == meta2.toSeq)
     val frames = sampleFrames(assets, everyMs = 50000L)
     assert(frames.count() == meta(1).duration_ms / 50000L + 1)
-    // resize: bounded dims, aspect preserved (within integer truncation),
-    // payload shrinks proportionally, never upscales
-    val rs = resize(assets, 640, 480).collect().map(r =>
-      (r.getLong(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).length))
+    // REAL resize: 320x200 into 160x480 → scale 0.5, aspect preserved,
+    // output is itself a decodable PNG of exactly those dims
+    val rs = resize(assets, 160, 480).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3)))
     assert(rs.map(_._1).toSet == Set(1L)) // only the decodable image
-    rs.foreach { case (_, w, h, n) =>
-      assert(w <= 640 && h <= 480 && w >= 1 && h >= 1 && n >= 1)
-    }
-    val origW = meta(0).width.toDouble
-    val origH = meta(0).height
-    rs.foreach { case (_, w, h, _) =>
-      if (origW <= 640 && origH <= 480) assert(w == meta(0).width && h == origH)
-    }
+    val (_, w, h, bytes) = rs.head
+    assert(w == 160 && h == 100)
+    assert(pipeline.expr.ImageDimsExpr.dims(bytes).contains((160, 100, "png")))
+    // never upscales
+    val same = resize(assets, 640, 480).collect().head
+    assert(same.getInt(1) == 320 && same.getInt(2) == 200)
   }
 
   test("lang-id, quality, token counts are deterministic and sane") {
