@@ -184,38 +184,62 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // symmetric closure in ONE pass over `pairs`: the union-of-two-selects
+    // form evaluates the (often expensive — LSH + exact-verify) pair
+    // pipeline once per branch; exploding both directions from a single
+    // scan halves the upstream work
+    // pre-partitioned by src ONCE: localCheckpoint preserves the output
+    // partitioning, so the per-iteration edges⋈frontier join re-shuffles
+    // only the (shrinking) frontier — never the full edge set again. At
+    // corpus scale that is the difference between shuffling |E| once and
+    // shuffling it every round.
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
+    // FRONTIER-pruned delta propagation: only labels that CHANGED last
+    // round can lower a neighbor this round (an unchanged neighbor already
+    // delivered its min when it last changed — base case: round 0 starts
+    // with every node in the frontier). The expensive edges-side join
+    // therefore shrinks with the active set; converged regions stop
+    // costing anything but the narrow all-nodes projections.
+    var frontier = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // (1) candidate label for dst = min over neighbors' comps; keep own
+      // (1) candidate label for dst = min over CHANGED neighbors' comps
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("comp")).as("ncomp"))
       val propagated = labels.join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // (2) pointer jumping: comp := comp(comp) — halves the remaining path
       // length every iteration, so a diameter-D chain converges in
-      // O(log D) rounds instead of O(D) (plain propagation alone walks one
-      // hop per round). comp is always itself a node id, so the self-join
-      // always resolves.
+      // O(log D) rounds instead of O(D). The jump reads the FULL current
+      // map (not the frontier): a change at v must reach every node whose
+      // pointer lands on v, frontier member or not.
+      // (3) convergence rides the SAME materialization: `chg` is a column
+      // of the checkpointed frame, so the old separate join+count job
+      // collapses to a trivial scan of already-materialized partitions.
       val next = propagated
         .join(propagated.select(col("node").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
-        .select(col("node"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .select(col("node"), col("old"),
+          coalesce(col("comp2"), col("comp")).as("comp"))
+        .withColumn("chg", col("comp") =!= col("old"))
+        .select("node", "comp", "chg")
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      labels = next.select("node", "comp")
+      frontier = next.filter(col("chg")).select("node", "comp")
+      converged = frontier.isEmpty
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
