@@ -43,10 +43,15 @@ object Streaming {
 
   /** The shared routed-write stream over ANY doc-shaped stream (file tap,
     * bus tap, socket dev source): per micro-batch, the batch stage chain +
-    * a partitioned write + a ledger commit. */
+    * a partitioned write + a ledger commit. Per-sink counts come from
+    * observe() metrics computed DURING the write — the sink set is static
+    * (rules + deadletter), so they are plain conditional aggregates; the
+    * old persist + separate sinkCounts action doubled the per-batch work. */
   def startDocs(docStream: DataFrame, outDir: String,
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val ledger = new io.Ledger(outDir)
+    val sinkNames = (stages.Route.defaultRules.map(_.sink) :+
+      pipeline.model.Sinks.DeadLetter).distinct
     docStream
       // streaming metrics surface: the same observe() counters as the batch
       // path, reported per micro-batch in StreamingQueryProgress
@@ -57,20 +62,52 @@ object Streaming {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val obs = org.apache.spark.sql.Observation()
         val routed = Pipeline.transform(batch)
           .select(col("url"), col("warc_ts"), col("lang"), col("source"),
             col("host"), col("title"), col("status"), col("extracted_text"),
             col("is_corrupt"), col("sink"), col("day"))
-        routed.persist()
-        try {
-          routed.write.mode("overwrite")
-            .partitionBy("sink")
-            .parquet(s"$outDir/routed_stream/batch=$batchId")
-          val counts = Aggregate.sinkCounts(routed).collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-          ledger.commit(s"batch-$batchId", counts.values.sum, counts)
-        } finally routed.unpersist()
+          .observe(obs,
+            count(when(col("sink") === sinkNames.head, true)).as(sinkNames.head),
+            sinkNames.tail.map(s => count(when(col("sink") === s, true)).as(s)): _*)
+        routed.write.mode("overwrite")
+          .partitionBy("sink")
+          .parquet(s"$outDir/routed_stream/batch=$batchId")
+        val row = obs.get
+        val counts = sinkNames.map(s => s -> row(s).asInstanceOf[Long])
+          .filter(_._2 > 0).toMap
+        ledger.commit(s"batch-$batchId", counts.values.sum, counts)
         ()
+      }
+      .start()
+  }
+
+  /**
+   * Streaming PUSH delivery with the reference's exact count/time batch
+   * semantics: routed stream → pipeline.streaming.Batcher.eventFlushes
+   * (stateful batchSize/flushFreq buffering of the actual payload lines) →
+   * each flush record becomes ONE Transport batch (flush seq = batch id)
+   * via Push.sendWithRetry, with retry + deadletter. Delivered line counts
+   * therefore reconcile exactly with the batcher's flush accounting —
+   * the streaming twin of the batch path's Push.deliver.
+   */
+  def startPushFlushes(routedStream: DataFrame, outDir: String,
+                       batchSize: Int, flushMs: Long,
+                       transport: io.Push.Transport, maxRetries: Int = 3,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val flushes = streaming.Batcher.eventFlushes(routedStream, batchSize, flushMs)
+    flushes.writeStream
+      .option("checkpointLocation", s"$outDir/_push_checkpoint")
+      .trigger(trigger)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[streaming.Batcher.EventFlush], _: Long) =>
+          b.foreachPartition {
+            (it: Iterator[streaming.Batcher.EventFlush]) =>
+              it.foreach(f => io.Push.sendWithRetry(
+                transport, f.sink, f.seq, f.payload, maxRetries,
+                deadletterDir = s"$outDir/deadletter"))
+          }
+          ()
       }
       .start()
   }

@@ -34,6 +34,11 @@ object Batcher {
     * Carries the event-time column itself — the watermark rides on it. */
   final case class In(sink: String, warc_ts: java.sql.Timestamp)
 
+  /** Map-side pre-combined unit: all of one input partition's events for a
+    * sink, as (count, min event-time, max event-time). */
+  final case class InAgg(sink: String, n: Long,
+                         minTs: java.sql.Timestamp, maxTs: java.sql.Timestamp)
+
   /**
    * Pure transition: previous state + `newN` new events (earliest at
    * `newMinTs`) + current watermark → (flushes, remaining state).
@@ -76,6 +81,93 @@ object Batcher {
     (flushes.result(), next)
   }
 
+  /** One flushed EVENT batch: the JSON payload lines themselves — the
+    * reference's destination semantics (buffer events, send the batch:
+    * `examples/journald_to_s3batch_config.json:11-12`). `seq` is dense per
+    * sink, so it doubles as the Transport batch id. */
+  final case class EventFlush(sink: String, seq: Long, trigger: String,
+                              first_ts_ms: Long, payload: Seq[String])
+
+  /** Buffered-event state: ≤ batchSize−1 payload lines per sink (count
+    * flushes drain full batches inline, so state is bounded by CONFIG, not
+    * by traffic). */
+  final case class EBState(buffer: Seq[String], firstTsMs: Long, seq: Long)
+
+  /** Internal wire row for [[eventFlushes]] (public: encoder codegen needs
+    * constructor access from generated projections). */
+  final case class EvIn(sink: String, warc_ts: java.sql.Timestamp, line: String)
+
+  /**
+   * EVENT batcher: routed doc stream → per-sink batches of the actual
+   * payload lines, flushed on exactly the count/time/timeout triggers of
+   * [[step]] — this is what gives a streaming PUSH sink the reference's
+   * batchSize+flushFreq semantics (each [[EventFlush]] becomes ONE
+   * Transport batch in pipeline.Streaming.startPushFlushes, so delivered
+   * counts reconcile exactly with the batcher's accounting).
+   *
+   * Scale note: unlike [[flushes]] (count-only state, map-side combined),
+   * buffering REAL events forces every routed row of a sink through that
+   * sink's stateful task — inherent to a single ordered buffer per
+   * destination (the reference daemon has the same structure). Throughput
+   * shards by splitting hot sinks into (sink, shard) keys upstream; state
+   * stays bounded at batchSize−1 lines per key either way.
+   */
+  def eventFlushes(routed: DataFrame, batchSize: Int, flushMs: Long): Dataset[EventFlush] = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    val payloadCols = routed.columns.filterNot(c => c == "html").map(col).toSeq
+    val in = routed
+      .filter(col("warc_ts").isNotNull)
+      .select(col("sink"), col("warc_ts"),
+        to_json(struct(payloadCols: _*)).as("line"))
+      .withWatermark("warc_ts", "0 seconds")
+      .as[EvIn]
+    in.groupByKey(_.sink)
+      .flatMapGroupsWithState[EBState, EventFlush](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (sink: String, events: Iterator[EvIn], state: GroupState[EBState]) =>
+          val prev = state.getOption
+          val wm = state.getCurrentWatermarkMs()
+          val out = Seq.newBuilder[EventFlush]
+          var next: Option[EBState] = prev
+          if (state.hasTimedOut) {
+            val st = prev.get
+            if (st.buffer.nonEmpty) {
+              out += EventFlush(sink, st.seq, "timeout", st.firstTsMs, st.buffer)
+              next = Some(EBState(Vector.empty, 0L, st.seq + 1))
+            }
+          } else {
+            var firstTs = prev.map(_.firstTsMs).filter(_ > 0).getOrElse(Long.MaxValue)
+            var seq = prev.map(_.seq).getOrElse(0L)
+            var buf = prev.map(_.buffer.toVector).getOrElse(Vector.empty)
+            events.foreach { e =>
+              firstTs = math.min(firstTs, e.warc_ts.getTime)
+              buf :+= e.line
+              if (buf.length >= batchSize) {
+                out += EventFlush(sink, seq, "count", firstTs, buf)
+                seq += 1
+                buf = Vector.empty
+              }
+            }
+            if (buf.nonEmpty && firstTs != Long.MaxValue && wm >= firstTs + flushMs) {
+              out += EventFlush(sink, seq, "time", firstTs, buf)
+              seq += 1
+              buf = Vector.empty
+            }
+            next =
+              if (buf.isEmpty) { if (seq == 0) None else Some(EBState(Vector.empty, 0L, seq)) }
+              else Some(EBState(buf, firstTs, seq))
+          }
+          next match {
+            case Some(st) =>
+              state.update(st)
+              if (st.buffer.nonEmpty) state.setTimeoutTimestamp(st.firstTsMs + flushMs)
+            case None => state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   /** Streaming shell: routed doc stream → per-sink flush records. */
   def flushes(routed: DataFrame, batchSize: Int, flushMs: Long): Dataset[Flush] = {
     val spark = routed.sparkSession
@@ -87,15 +179,37 @@ object Batcher {
     val in = routed
       .filter(col("warc_ts").isNotNull)
       .select(col("sink"), col("warc_ts"))
-      .withWatermark("warc_ts", "0 seconds")
       .as[In]
+    // MAP-SIDE COMBINE before the stateful shuffle: groupByKey(_.sink) has
+    // cardinality = #sinks, so without pre-aggregation every routed row of
+    // a sink funnels through ONE task (an O(rows)-through-one-core funnel).
+    // One narrow mapPartitions pass reduces each input partition to ≤#sinks
+    // (sink, n, minTs, maxTs) rows; the stateful shuffle then carries
+    // partitions×sinks rows and the single-task group iteration is O(that).
+    val combined = in.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+      it.foreach { e =>
+        val t = e.warc_ts.getTime
+        val acc = m.getOrElseUpdate(e.sink, Array(0L, Long.MaxValue, Long.MinValue))
+        acc(0) += 1
+        if (t < acc(1)) acc(1) = t
+        if (t > acc(2)) acc(2) = t
+      }
+      m.iterator.map { case (s, a) =>
+        InAgg(s, a(0), new java.sql.Timestamp(a(1)), new java.sql.Timestamp(a(2)))
+      }
+    }
+      // the watermark rides the pre-combined MAX event time: max over
+      // partition maxima == max over rows, so the watermark (and therefore
+      // every time/timeout flush) advances exactly as in the row-level form
+      .withWatermark("maxTs", "0 seconds")
     // NOTE state cardinality: one BState per SINK id — bounded by the
     // configured destination set, so the zero-buffer rows kept to preserve
     // the flush sequence counter are a handful, not a leak surface.
-    in.groupByKey(_.sink)
+    combined.groupByKey(_.sink)
       .flatMapGroupsWithState[BState, Flush](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (sink: String, events: Iterator[In], state: GroupState[BState]) =>
+        (sink: String, events: Iterator[InAgg], state: GroupState[BState]) =>
           val prev = state.getOption
           val wm = state.getCurrentWatermarkMs()
           val (flushes, next) =
@@ -110,7 +224,7 @@ object Batcher {
             } else {
               var n = 0L
               var minTs = Long.MaxValue
-              events.foreach { e => n += 1; minTs = math.min(minTs, e.warc_ts.getTime) }
+              events.foreach { e => n += e.n; minTs = math.min(minTs, e.minTs.getTime) }
               step(sink, prev, n, minTs, batchSize, flushMs, wm)
             }
           next match {

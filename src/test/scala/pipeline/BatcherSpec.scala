@@ -70,6 +70,13 @@ class BatcherSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1).parquet(landing)
     val routed = Pipeline.transform(stream)
     val out = Batcher.flushes(routed, batchSize = 100, flushMs = 60 * 60000L)
+    // the map-side combine sits BELOW the stateful operator: the per-sink
+    // group iteration sees partitions×sinks pre-aggregated rows, never the
+    // full event stream through one task
+    val lp = out.queryExecution.analyzed.toString
+    assert(lp.contains("FlatMapGroupsWithState"), lp.take(2000))
+    assert(lp.indexOf("MapPartitions") > lp.indexOf("FlatMapGroupsWithState"),
+      s"pre-combine not below the stateful op:\n${lp.take(2000)}")
     val q = out.writeStream.format("memory").queryName("flushes")
       .outputMode("append")
       .option("checkpointLocation", Files.createTempDirectory("bck").toString)

@@ -98,6 +98,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(observedIn == 800L, s"observed events_in=$observedIn")
   }
 
+  test("streaming push: batcher event flushes drive Transport batches, counts reconcile") {
+    val s = sc
+    import s.implicits._
+    val landing = Files.createTempDirectory("graft-push-landing").toString
+    val out = Files.createTempDirectory("graft-push-out").toString
+    // same landing choreography as BatcherSpec: one micro-batch per file
+    // (mtime-ordered), two far-future sentinels to drive the watermark past
+    // every open buffer's deadline so time/timeout flushes drain
+    Webtext.dataset(s, 500, 1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Webtext.dataset(s, 1, 1)
+      .map(d => d.copy(url = d.url + "?s",
+        warc_ts = new java.sql.Timestamp(d.warc_ts.getTime + 365L * 86400000L)))
+      .write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Webtext.dataset(s, 1, 1)
+      .map(d => d.copy(url = d.url + "?t",
+        warc_ts = new java.sql.Timestamp(d.warc_ts.getTime + 730L * 86400000L)))
+      .write.mode("append").parquet(landing)
+
+    val stream = s.readStream.schema(pipeline.model.Schemas.webtext)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val routed = Pipeline.transform(stream)
+    val q = Streaming.startPushFlushes(routed, out, batchSize = 64,
+      flushMs = 60 * 60000L, transport = new io.Push.LocalFileTransport(s"$out/pushed"))
+    q.awaitTermination()
+
+    // every flush landed as ONE durable transport batch per (sink, seq)
+    val pushedDir = new java.io.File(s"$out/pushed")
+    assert(pushedDir.exists, "no pushed batches")
+    val perSink = pushedDir.listFiles().filter(_.isDirectory).map { d =>
+      val files = d.listFiles().sortBy(_.getName)
+      val lines = files.map(f => scala.io.Source.fromFile(f, "UTF-8").getLines().size)
+      // batch files are dense from seq 0 and each holds ≤ batchSize lines
+      assert(files.map(_.getName).toSeq ==
+        files.indices.map(i => f"batch-$i%016d.jsonl"))
+      assert(lines.forall(_ <= 64))
+      d.getName -> lines.sum.toLong
+    }.toMap
+    // reconciliation: everything routed before the sentinels was delivered
+    // (sentinels may remain in open buffers when AvailableNow ends)
+    val expected = RefNormalizer.routedCounts((0L until 500L).iterator.map(Webtext.row))
+      .filter(_._2 > 0) // deadletter rows have null warc_ts → excluded below
+    expected.foreach { case (sink, n) =>
+      // corrupt rows carry a null warc_ts and stay on the deadletter/ledger
+      // path (Batcher scaladoc); every timestamped routed row must push
+      if (sink != "deadletter") {
+        val got = perSink.getOrElse(sink, 0L)
+        assert(got >= n && got <= n + 2, s"sink $sink: pushed $got, routed $n")
+      }
+    }
+    // payloads are real JSON event lines (the Push.deliver wire shape)
+    val one = pushedDir.listFiles().filter(_.isDirectory).head.listFiles().head
+    val firstLine = scala.io.Source.fromFile(one, "UTF-8").getLines().next()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(om.readTree(firstLine).hasNonNull("url"))
+  }
+
   test("event-time window counts with watermark") {
     val s = sc
     val landing = Files.createTempDirectory("graft-landing3").toString
