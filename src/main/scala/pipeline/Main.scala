@@ -86,20 +86,35 @@ object Pipeline {
     }).drop("salt")
   }
 
+  /** The sink-name set a rule list can route to (incl. deadletter). */
+  def sinkNamesFor(rules: Seq[RouteRule]): Seq[String] =
+    (rules.map(_.sink) :+ Sinks.DeadLetter).distinct
+
+  /** Attach per-sink row counters to `df`, computed DURING its next action
+    * (the sink set is static, so plain conditional aggregates suffice; a
+    * separate count pass — or the r1 read-back — would double the I/O).
+    * Shared by [[countedWrite]] and the streaming ledger path. */
+  def observeSinkCounts(df: DataFrame, obs: Observation,
+                        sinkNames: Seq[String]): DataFrame =
+    df.observe(obs,
+      count(when(col("sink") === sinkNames.head, true)).as(sinkNames.head),
+      sinkNames.tail.map(s => count(when(col("sink") === s, true)).as(s)): _*)
+
+  /** Read the observed per-sink counts back out after the action ran. */
+  def observedSinkCounts(obs: Observation, sinkNames: Seq[String]): Map[String, Long] = {
+    val row = obs.get
+    sinkNames.map(s => s -> row(s).asInstanceOf[Long]).toMap
+  }
+
   /** Partitioned (sink, day) write with per-sink counts observed ON the
-    * write pass — the sink set is static, so per-sink counters are plain
-    * conditional aggregates; a separate count pass (or the r1 read-back)
-    * would double the I/O. Shared by [[runFused]] and the config runner. */
+    * write pass. Shared by [[runFused]] and the config runner. */
   def countedWrite(prePartitioned: DataFrame, sinkNames: Seq[String],
                    io: ParquetTableIO, table: String,
                    maxRecordsPerFile: Long = 1000000L): Map[String, Long] = {
     val obs = Observation()
-    val counted = prePartitioned.observe(obs,
-      count(when(col("sink") === sinkNames.head, true)).as(sinkNames.head),
-      sinkNames.tail.map(s => count(when(col("sink") === s, true)).as(s)): _*)
-    io.write(counted, table, Seq("sink", "day"), maxRecordsPerFile)
-    val row = obs.get
-    sinkNames.map(s => s -> row(s).asInstanceOf[Long]).toMap
+    io.write(observeSinkCounts(prePartitioned, obs, sinkNames),
+      table, Seq("sink", "day"), maxRecordsPerFile)
+    observedSinkCounts(obs, sinkNames)
   }
 
   /** The exact pre-write plan: transform → project (prunes `html` from the
@@ -114,7 +129,7 @@ object Pipeline {
                audit: Boolean = false): Map[String, Long] = {
     val writeTasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val routed = fusedPlan(webtext, writeTasks, observed = true, rules)
-    val sinkNames = (rules.map(_.sink) :+ Sinks.DeadLetter).distinct
+    val sinkNames = sinkNamesFor(rules)
     val io = new ParquetTableIO(outDir)
     val schema = routed.schema // explicit on read-back: empty writes have no files to infer from
     def phase[T](name: String)(f: => T): T = {

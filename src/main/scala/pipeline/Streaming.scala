@@ -50,8 +50,7 @@ object Streaming {
   def startDocs(docStream: DataFrame, outDir: String,
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val ledger = new io.Ledger(outDir)
-    val sinkNames = (stages.Route.defaultRules.map(_.sink) :+
-      pipeline.model.Sinks.DeadLetter).distinct
+    val sinkNames = Pipeline.sinkNamesFor(stages.Route.defaultRules)
     docStream
       // streaming metrics surface: the same observe() counters as the batch
       // path, reported per micro-batch in StreamingQueryProgress
@@ -63,19 +62,16 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val obs = org.apache.spark.sql.Observation()
-        val routed = Pipeline.transform(batch)
-          .select(col("url"), col("warc_ts"), col("lang"), col("source"),
-            col("host"), col("title"), col("status"), col("extracted_text"),
-            col("is_corrupt"), col("sink"), col("day"))
-          .observe(obs,
-            count(when(col("sink") === sinkNames.head, true)).as(sinkNames.head),
-            sinkNames.tail.map(s => count(when(col("sink") === s, true)).as(s)): _*)
+        val routed = Pipeline.observeSinkCounts(
+          Pipeline.transform(batch)
+            .select(col("url"), col("warc_ts"), col("lang"), col("source"),
+              col("host"), col("title"), col("status"), col("extracted_text"),
+              col("is_corrupt"), col("sink"), col("day")),
+          obs, sinkNames)
         routed.write.mode("overwrite")
           .partitionBy("sink")
           .parquet(s"$outDir/routed_stream/batch=$batchId")
-        val row = obs.get
-        val counts = sinkNames.map(s => s -> row(s).asInstanceOf[Long])
-          .filter(_._2 > 0).toMap
+        val counts = Pipeline.observedSinkCounts(obs, sinkNames).filter(_._2 > 0)
         ledger.commit(s"batch-$batchId", counts.values.sum, counts)
         ()
       }

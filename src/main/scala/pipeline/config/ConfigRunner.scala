@@ -44,9 +44,14 @@ object ConfigRunner {
         // fielded decode: journald entries are key→value records, kept
         // addressable as an `entries` map (SURVEY.md §1.3 — the same shape
         // as eventlog EventData); maxLineLenKB caps the event payload at
-        // the source (`examples/journald_to_s3batch_config.json:5`)
-        src.maxLineLenKB.foldLeft(LineCodec.decodeJournald(raw))(
-          (d, kb) => Sources.truncate(d, kb, "text"))
+        // the source (`examples/journald_to_s3batch_config.json:5`) — on
+        // BOTH projections: `text` AND every entries value (a multi-MB
+        // MESSAGE must not bypass the size bound by riding the map)
+        src.maxLineLenKB.foldLeft(LineCodec.decodeJournald(raw)) { (d, kb) =>
+          Sources.truncate(d, kb, "text")
+            .withColumn("entries", transform_values(col("entries"),
+              (_, v) => substring(v, 1, kb * 1024)))
+        }
       case "nginx_syslog" | "syslog" =>
         LineCodec.decode(Sources.stripSyslog(raw, "value"))
       case "eventlog" =>

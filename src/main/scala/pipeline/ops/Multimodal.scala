@@ -97,11 +97,30 @@ object Multimodal {
   def resize(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): DataFrame = {
     require(maxW > 0 && maxH > 0, s"bad resize bounds ${maxW}x$maxH")
     import assets.sparkSession.implicits._
+    val maxPixels = 64L * 1024 * 1024 // decode bound: ~256 MB ARGB
     assets.filter(_.kind == "image").mapPartitions { it =>
       it.flatMap { a =>
+        // header-only pre-check FIRST: (a) skips null/empty/unrecognized
+        // payloads the way the old stub path did (decodeMeta's ok=false
+        // shape), (b) bounds the full decode — a crafted header declaring
+        // 60000x60000 would otherwise make ImageIO.read allocate ~14 GB
+        val headerOk = ImageDimsExpr.dims(a.bytes)
+          .exists { case (w, h, _) => w.toLong * h <= maxPixels }
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
-          catch { case _: java.io.IOException => null }
+          if (!headerOk) null
+          else try {
+            // MemoryCacheImageInputStream: ImageIO.read(InputStream) would
+            // spool every payload through a disk-backed temp file
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(a.bytes))
+            // ImageIO.read(ImageInputStream) closes the stream on success;
+            // the close here only covers the throw path (double-close raises)
+            try javax.imageio.ImageIO.read(iis)
+            finally { try iis.close() catch { case _: java.io.IOException => () } }
+            // malformed pixel data in JDK readers can throw unchecked
+            // (ArrayIndexOutOfBounds etc.), not just IOException — a corrupt
+            // payload must skip the row, never kill the task
+          } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Iterator.empty
         else {
           val (w, h) = (img.getWidth, img.getHeight)

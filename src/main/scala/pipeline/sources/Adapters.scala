@@ -43,17 +43,24 @@ object LineCodec {
    * map<string,string>` — the same addressable shape as Windows EventData
    * (`examples/windows/README.md:169`), so `element_at(entries, 'KEY')`
    * filters and per-field grok work exactly like eventlog's
-   * `EventData['K']`. ONE json parse feeds both projections (from_json of
-   * the same input collapses in codegen); undecodable lines null both.
+   * `EventData['K']`. ONE Jackson parse per line: the doc columns project
+   * out of the map (two from_json calls with different schemas would NOT
+   * collapse — they are distinct expression trees, so each would re-parse).
+   * Undecodable lines null everything (deadletter path downstream);
+   * a malformed timestamp VALUE nulls that field only (try_to_timestamp),
+   * matching from_json's PERMISSIVE per-field behavior.
    */
   def decodeJournald(lines: DataFrame, valueCol: String = "value"): DataFrame =
     lines
-      .withColumn("_doc", from_json(col(valueCol), wire))
       .withColumn("entries",
         from_json(col(valueCol), MapType(StringType, StringType)))
-      .select(col("_doc.url").as("url"), col("_doc.warc_ts").as("warc_ts"),
+      .select(
+        try_element_at(col("entries"), lit("url")).as("url"),
+        call_function("try_to_timestamp",
+          try_element_at(col("entries"), lit("warc_ts"))).as("warc_ts"),
         lit(null).cast(BinaryType).as("html"),
-        col("_doc.text").as("text"), col("_doc.lang").as("lang"),
+        try_element_at(col("entries"), lit("text")).as("text"),
+        try_element_at(col("entries"), lit("lang")).as("lang"),
         col("entries"))
 }
 

@@ -137,6 +137,10 @@ object Batcher {
               next = Some(EBState(Vector.empty, 0L, st.seq + 1))
             }
           } else {
+            // firstTs is PER BUFFER and resets when a count flush drains it
+            // (unlike the count-only [[step]], which cannot know the
+            // remainder's own earliest event and errs early by design —
+            // here the events are in hand, so the deadline is exact)
             var firstTs = prev.map(_.firstTsMs).filter(_ > 0).getOrElse(Long.MaxValue)
             var seq = prev.map(_.seq).getOrElse(0L)
             var buf = prev.map(_.buffer.toVector).getOrElse(Vector.empty)
@@ -147,12 +151,14 @@ object Batcher {
                 out += EventFlush(sink, seq, "count", firstTs, buf)
                 seq += 1
                 buf = Vector.empty
+                firstTs = Long.MaxValue
               }
             }
-            if (buf.nonEmpty && firstTs != Long.MaxValue && wm >= firstTs + flushMs) {
+            if (buf.nonEmpty && wm >= firstTs + flushMs) {
               out += EventFlush(sink, seq, "time", firstTs, buf)
               seq += 1
               buf = Vector.empty
+              firstTs = Long.MaxValue
             }
             next =
               if (buf.isEmpty) { if (seq == 0) None else Some(EBState(Vector.empty, 0L, seq)) }
