@@ -39,6 +39,37 @@ object Oracle {
       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
       |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id)""".stripMargin
 
+  /** Shared URL-fixture + canonicalization CTEs (mirrors Queries.urlLine →
+    * CorpusRefine.canonicalizeUrl; group-free rewrites only, since
+    * replacement backreference syntax differs between engines). Yields CTE
+    * `canon(doc_id, url_canon)`; `body` selects from it. */
+  private def urlCanonicalSql(body: String): String =
+    s"""WITH u0 AS (SELECT doc_id,
+      |  'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+      |  '.COM:443/Path/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+      |       WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+      |       ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM documents),
+      |nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM u0),
+      |parts AS (SELECT doc_id,
+      |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+      |  regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$$', 1) AS rest
+      | FROM nf),
+      |canon AS (SELECT doc_id, scheme || '://' ||
+      |  regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+      |                      WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+      |                      ELSE hostport END, '^www\\.', '') ||
+      |  regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(rest,
+      |      '&(utm_[A-Za-z0-9_]*|fbclid)=[^&]*', '', 'g'),
+      |      '\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*&', '?'),
+      |      '\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*$$', ''),
+      |    '/+\\?', '?'), '/+$$', '') AS url_canon FROM parts)
+      |$body""".stripMargin
+
   private val shinglesSql =
     """CASE WHEN len(w) >= 3
       | THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
@@ -490,6 +521,87 @@ object Oracle {
         | s.agent AS g_agent
         |FROM g""".stripMargin
     },
+
+    "q_pii_redact" -> {
+      // the SAME Java∩RE2 patterns the Spark side compiles (string-shared,
+      // engine-independent execution — the grok-oracle contract)
+      val (em, ph, ip) =
+        (pipeline.ops.CorpusRefine.EmailRe, pipeline.ops.CorpusRefine.PhoneRe,
+          pipeline.ops.CorpusRefine.Ipv4Re)
+      s"""WITH lines AS (SELECT doc_id,
+        |  substr(text, 1, 40) || ' contact u' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  '@mail.example.org or u' || CAST(doc_id % 9 AS VARCHAR) ||
+        |  '@corp.example.com ip 10.3.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |  '.' || CAST((doc_id * 5) % 256 AS VARCHAR) ||
+        |  ' tel +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS l
+        |  FROM documents),
+        |r AS (SELECT doc_id, l,
+        |  regexp_replace(regexp_replace(regexp_replace(l,
+        |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS red
+        |  FROM lines)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(l, '$em')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(l, '$ph')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(l, '$ip')) AS BIGINT) AS n_ips,
+        | md5(red) AS redacted_md5,
+        | CAST(length(red) AS BIGINT) AS n_redacted_chars
+        |FROM r""".stripMargin
+    },
+
+    /** Shared canonicalization SQL over a `url` column (mirrors
+      * CorpusRefine.canonicalizeUrl — group-free rewrites only, since
+      * replacement backreference syntax differs between engines). */
+    "q_url_canonical" -> urlCanonicalSql("SELECT doc_id, url_canon FROM canon"),
+
+    "q_url_dedup" -> urlCanonicalSql(
+      """SELECT url_canon, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM canon GROUP BY 1""".stripMargin),
+
+    "q_repetition" ->
+      // same narrow formulation: sorted bigrams + max run-length fold (any
+      // total order groups equal bigrams contiguously, so Spark/DuckDB
+      // comparator differences cannot change the run counts)
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |b AS (SELECT doc_id, w,
+        |  list_sort(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sb
+        | FROM w WHERE len(w) >= 2),
+        |r AS (SELECT doc_id, w, sb,
+        |  list_reduce(
+        |    list_prepend({'prev': '', 'run': CAST(0 AS BIGINT), 'best': CAST(0 AS BIGINT)},
+        |      list_transform(sb, x -> {'prev': x, 'run': CAST(1 AS BIGINT), 'best': CAST(1 AS BIGINT)})),
+        |    (a, e) -> CASE WHEN e.prev = a.prev
+        |       THEN {'prev': e.prev, 'run': a.run + 1, 'best': greatest(a.best, a.run + 1)}
+        |       ELSE {'prev': e.prev, 'run': CAST(1 AS BIGINT), 'best': greatest(a.best, CAST(1 AS BIGINT))} END) AS st
+        |  FROM b)
+        |SELECT doc_id,
+        | CAST(len(sb) AS BIGINT) AS n_bigrams,
+        | st.best AS top_bigram_n,
+        | CAST(st.best AS DOUBLE) / CAST(len(sb) AS DOUBLE) AS top_bigram_fraction,
+        | CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_word_ratio
+        |FROM r""".stripMargin,
+
+    "q_paragraph_dedup" ->
+      // 3-word chunks; first occurrence (doc_id, pos) wins corpus-wide.
+      // DuckDB zips equal-length unnests positionally → (para, pos) pairs.
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 1
+        |    THEN list_transform(range(0, greatest((len(w)+2)//3, 1)),
+        |           i -> array_to_string(w[i*3+1:i*3+3], ' '))
+        |    ELSE [] END AS ps FROM w),
+        |e AS (SELECT doc_id, unnest(ps) AS para,
+        |        unnest(range(1, len(ps)+1)) AS pos FROM p),
+        |k AS (SELECT doc_id,
+        |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        | FROM e)
+        |SELECT doc_id, count(*) AS n_paras,
+        | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${h32("CAST(doc_id AS VARCHAR)")} % 100 <
+        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

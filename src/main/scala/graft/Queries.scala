@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import pipeline.ops.{Dedup, Portable, Similarity, TextAnalysis}
+import pipeline.ops.{CorpusRefine, Dedup, Portable, Similarity, TextAnalysis}
 
 /**
  * Driver-contract queries: one per implemented operator (SURVEY.md §2 +
@@ -451,6 +451,76 @@ object Queries {
       .filter(col("n_tokens") >= 10 && col("stopword_ratio") > 0)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
+
+  // ---------- corpus refinement (PII / URL / repetition / sampling) ----------
+
+  /** PII-bearing line synthesized from doc columns (two emails, one IPv4,
+    * one phone — all pure functions of doc_id, so the oracle rebuilds the
+    * same line; null text null-propagates on both engines). */
+  def piiLine: org.apache.spark.sql.Column = concat(
+    substring(col("text"), 1, 40),
+    lit(" contact u"), pmod(col("doc_id"), lit(40L)).cast("string"),
+    lit("@mail.example.org or u"), pmod(col("doc_id"), lit(9L)).cast("string"),
+    lit("@corp.example.com ip 10.3."), pmod(col("doc_id"), lit(256L)).cast("string"),
+    lit("."), pmod(col("doc_id") * 5, lit(256L)).cast("string"),
+    lit(" tel +1-415-555-"),
+    lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+
+  /** PII redaction: per-kind match counts + the redacted payload's digest.
+    * The oracle runs the SAME Java∩RE2 patterns through DuckDB's regex
+    * engine, so a miscounted or half-redacted match cannot pass. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val line = piiLine
+    val cnt = CorpusRefine.piiCounts(line)
+    val red = CorpusRefine.redactPii(line)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      cnt.getField("n_emails").as("n_emails"),
+      cnt.getField("n_phones").as("n_phones"),
+      cnt.getField("n_ips").as("n_ips"),
+      md5(red.cast("binary")).as("redacted_md5"),
+      length(red).cast("long").as("n_redacted_chars"))
+  }
+
+  /** Deterministic messy-URL fixture: uppercase scheme/host, www + default
+    * port, tracking params in three positions, optional fragment. */
+  def urlLine: org.apache.spark.sql.Column = concat(
+    lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(5L)).cast("string"),
+    lit(".COM:443/Path/"), pmod(col("doc_id"), lit(50L)).cast("string"),
+    when(pmod(col("doc_id"), lit(3L)) === 0,
+      concat(lit("/?utm_source=feed&id="), pmod(col("doc_id"), lit(7L)).cast("string")))
+      .when(pmod(col("doc_id"), lit(3L)) === 1,
+        concat(lit("?id="), pmod(col("doc_id"), lit(7L)).cast("string"), lit("&utm_campaign=x")))
+      .otherwise(concat(lit("?id="), pmod(col("doc_id"), lit(7L)).cast("string"))),
+    when(pmod(col("doc_id"), lit(4L)) === 0, lit("#frag")).otherwise(lit("")))
+
+  /** URL canonicalization, row level. */
+  def qUrlCanonical(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), CorpusRefine.canonicalizeUrl(urlLine).as("url_canon"))
+
+  /** URL-keyed dedup: the three tracking variants of each logical URL must
+    * collapse to one canonical group (keep lowest id). */
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame =
+    CorpusRefine.urlDedup(
+      t(s, dir, "documents").select(col("doc_id"), urlLine.as("url")),
+      "doc_id", "url")
+
+  /** Gopher-style repetition features (top-bigram fraction etc.). */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    CorpusRefine.repetitionFeatures(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Corpus-wide paragraph dedup (CCNet-shaped): 3-word chunks, first
+    * occurrence wins across the whole corpus. */
+  def qParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    CorpusRefine.paragraphDedup(t(s, dir, "documents"), "doc_id", "text", k = 3)
+
+  /** Deterministic stratified sample: downweight overrepresented strata
+    * (en 50%, de 30%, rest 10%) via the portable hash gate. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    CorpusRefine.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 50, "de" -> 30), defaultRate = 10)
+      .select(col("doc_id"), col("lang"))
 
   /** Multimodal plumbing: opaque binary payload + portable features. */
   def qMultimodal(s: SparkSession, dir: String): DataFrame =

@@ -55,6 +55,12 @@ object SparkEntry {
     "q_quality" -> (Queries.qQuality _),
     "q_token_count" -> (Queries.qTokenCount _),
     "q_fingerprint" -> (Queries.qFingerprint _),
+    "q_pii_redact" -> (Queries.qPiiRedact _),
+    "q_url_canonical" -> (Queries.qUrlCanonical _),
+    "q_url_dedup" -> (Queries.qUrlDedup _),
+    "q_repetition" -> (Queries.qRepetition _),
+    "q_paragraph_dedup" -> (Queries.qParagraphDedup _),
+    "q_sample_stratified" -> (Queries.qSampleStratified _),
     "q_multimodal" -> (Queries.qMultimodal _),
     "q_multimodal_image" -> (Queries.qMultimodalImage _),
     "q_corpus_clean" -> (Queries.qCorpusClean _))

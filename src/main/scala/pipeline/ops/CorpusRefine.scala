@@ -1,0 +1,179 @@
+package pipeline.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Portable._
+
+/**
+ * Corpus-refinement operators for training-data pipelines: PII redaction,
+ * URL canonicalization + URL-keyed dedup, Gopher-style repetition features,
+ * corpus-wide paragraph dedup (CCNet-shaped), and deterministic stratified
+ * sampling.
+ *
+ * Design constraints shared with the rest of pipeline.ops:
+ *  - regexes live in the Java∩RE2 dialect so the DuckDB oracle executes the
+ *    SAME pattern (no backreferences in replacements — `$1` vs `\1` differ
+ *    between engines, so every rewrite is expressed without groups);
+ *  - per-row ops are narrow Column expressions (whole-stage codegen);
+ *  - the two corpus-wide ops ([[urlDedup]], [[paragraphDedup]]) shuffle
+ *    exactly once, on a canonical-string / paragraph-hash key, and never
+ *    carry full document text through the exchange.
+ */
+object CorpusRefine {
+
+  // ---------- PII redaction ----------
+
+  /** Java∩RE2 PII patterns. Order of redaction: email → phone → ip (an
+    * email's local part can contain digit runs an ip/phone pattern could
+    * nibble at; nothing in a redaction token re-matches a later pattern). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-kind match counts (computed BEFORE redaction; null text → null). */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+
+  /** Replace every PII match with a fixed token. Narrow, codegen'd. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  // ---------- URL canonicalization + dedup ----------
+
+  /**
+   * Canonical URL: lowercase scheme+host, strip `www.`, drop default ports
+   * (`:443` for https, `:80` for http), drop the fragment, remove tracking
+   * params (`utm_*`, `fbclid`), strip the path's trailing slash. Pure
+   * regex/string Column arithmetic — no UDF, no backreference replacements.
+   */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noPort = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    // tracking params: mid/list ("&k=v"), leading-with-follower ("?k=v&"),
+    // lone ("?k=v$") — three group-free rewrites cover every position
+    val r1 = regexp_replace(rest, "&(utm_[A-Za-z0-9_]*|fbclid)=[^&]*", "")
+    val r2 = regexp_replace(r1, "\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*&", "?")
+    val r3 = regexp_replace(r2, "\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*$", "")
+    val r4 = regexp_replace(regexp_replace(r3, "/+\\?", "?"), "/+$", "")
+    concat(scheme, lit("://"), host, r4)
+  }
+
+  /** URL-keyed exact dedup: canonicalize, group, keep the lowest id. ONE
+    * shuffle on the canonical string (at 100 TB: the canonical URL is tiny
+    * and high-cardinality — no skew guard needed, unlike text shingles). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .groupBy("url_canon")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------- repetition features (Gopher-style) ----------
+
+  /**
+   * Within-document repetition features: distinct-word ratio and the
+   * fraction of all word bigrams taken by the most frequent bigram (the
+   * Gopher "top n-gram fraction" filter). FULLY NARROW: a per-document
+   * feature must not shuffle, so the top-bigram count is a sort + max
+   * run-length scan inside one codegen span (any total order groups equal
+   * bigrams contiguously, so comparator details are parity-irrelevant) —
+   * zero exchanges at any corpus size, vs the naive explode + two-level
+   * groupBy. Documents with < 2 words have no bigrams and are dropped.
+   */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = tokens(col(textCol))
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(1), greatest(size(words) - 1, lit(1))),
+        i => concat_ws(" ", get(words, i - 1), get(words, i))))
+      .otherwise(array().cast("array<string>"))
+    val sortedBg = array_sort(bigrams)
+    // (prev, current-run, best-run) left fold; "" is never a bigram
+    // (concat_ws over two tokens always emits the separator)
+    val st = aggregate(sortedBg,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    df.filter(size(words) >= 2)
+      .select(
+        col(idCol),
+        size(sortedBg).cast("long").as("n_bigrams"),
+        st.getField("best").as("top_bigram_n"),
+        (st.getField("best").cast("double") / size(sortedBg).cast("double"))
+          .as("top_bigram_fraction"),
+        (size(array_distinct(words)).cast("double") / size(words).cast("double"))
+          .as("distinct_word_ratio"))
+  }
+
+  // ---------- corpus-wide paragraph dedup (CCNet-shaped) ----------
+
+  /** Fixed-size word-window "paragraphs": k-word chunks, space-joined (the
+    * fixture corpus is single-line, so newline paragraphs degenerate; the
+    * operator itself only needs SOME deterministic segmentation). */
+  def wordChunks(words: Column, k: Int): Column = {
+    val nPar = floor((size(words) + lit(k - 1)) / lit(k)).cast("int")
+    when(size(words) >= 1,
+      transform(sequence(lit(0), greatest(nPar - 1, lit(0))),
+        i => array_join(slice(words, i * k + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Corpus-wide paragraph dedup: a paragraph survives only at its FIRST
+   * occurrence (ordered by doc id, then position) — every later copy in any
+   * document drops. Returns per-document (n_paras, n_kept).
+   *
+   * Scale shape: one shuffle on the paragraph digest; the window is
+   * rank-1-only (WindowGroupLimit prunes to the minimum per digest). At
+   * real web scale ubiquitous boilerplate paragraphs make hot digests — the
+   * same DF-cap guard as [[Dedup.ngramJaccard]] applies if the per-digest
+   * row count skews (here each digest group collapses to ONE surviving row,
+   * so the reduce is a min, not a join fan-out — no quadratic hazard).
+   */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), posexplode(wordChunks(tokens(col(textCol)), k))
+        .as(Seq("pos", "para")))
+      // digest, not the paragraph text, rides the shuffle
+      .select(col(idCol), col("pos"), md5(col("para").cast("binary")).as("d"))
+    val w = Window.partitionBy(col("d")).orderBy(col(idCol), col("pos"))
+    exploded
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  // ---------- deterministic stratified sampling ----------
+
+  /**
+   * Hash-gated stratified sample: keep a row iff
+   * `h32(id) % 100 < rate(stratum)` — deterministic (reruns and both
+   * engines agree), uniform within a stratum, and fully narrow (no
+   * shuffle, no RNG state). The standard downsampling step for
+   * overrepresented languages/sources in corpus assembly.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val rate = rates.foldRight(lit(defaultRate)) { case ((k, r), acc) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(hash32(col(idCol).cast("string")), lit(100L)) < rate)
+  }
+}

@@ -1,0 +1,144 @@
+package pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import pipeline.ops.CorpusRefine
+
+/** Semantics specs for the corpus-refinement ops (PII, URL canon/dedup,
+  * repetition features, paragraph dedup, stratified sampling) — value-level
+  * checks the DuckDB oracle can't express (brute-force cross-checks,
+  * determinism, plan-shape negatives). */
+class CorpusRefineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, 4, "corpusrefine-spec")
+  private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
+
+  test("redactPii removes every counted match and only those") {
+    val s = sc
+    import s.implicits._
+    val d = Seq(
+      (1L, "mail a.b+c@x-y.example.org and 10.0.0.1 tel +1-415-555-0000 done"),
+      (2L, "no pii here, just words and 1.2 version numbers"),
+      (3L, "two mails a@b.co c@d.io one ip 255.255.255.255"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = d.select(
+      col("id"),
+      CorpusRefine.piiCounts(col("text")).as("c"),
+      CorpusRefine.redactPii(col("text")).as("red"))
+      .select(col("id"), col("c.n_emails"), col("c.n_phones"), col("c.n_ips"), col("red"))
+      .collect().sortBy(_.getLong(0))
+
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1 && out(0).getLong(3) == 1)
+    assert(out(0).getString(4) == "mail <EMAIL> and <IP> tel <PHONE> done")
+    assert(out(1).getLong(1) == 0 && out(1).getLong(3) == 0)
+    assert(out(1).getString(4) == "no pii here, just words and 1.2 version numbers")
+    assert(out(2).getLong(1) == 2 && out(2).getLong(3) == 1)
+    // null text → null counts and null redaction (deadletter semantics)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(4))
+    // the redacted output never re-matches any PII pattern
+    val clean = d.filter(col("text").isNotNull)
+      .select(CorpusRefine.piiCounts(CorpusRefine.redactPii(col("text"))).as("c"))
+      .agg(sum(col("c.n_emails")) + sum(col("c.n_phones")) + sum(col("c.n_ips")))
+      .head().getLong(0)
+    assert(clean == 0)
+  }
+
+  test("canonicalizeUrl: tracking variants collapse, semantics preserved") {
+    val s = sc
+    import s.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/7/?utm_source=feed&id=3#frag",
+      "https://example.com/Path/7?id=3&utm_campaign=x",
+      "https://example.com/Path/7?id=3",
+      // different id param → must NOT collapse with the above
+      "https://example.com/Path/7?id=4",
+      // http default port + lone tracking param + trailing slash
+      "HTTP://Example.com:80/a/b/?utm_source=x",
+      "http://example.com/a/b",
+      // non-default port is semantic and survives
+      "https://example.com:8443/x?id=1")
+    val canon = urls.toDF("url")
+      .select(CorpusRefine.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon(0) == "https://example.com/Path/7?id=3")
+    assert(canon(0) == canon(1) && canon(1) == canon(2))
+    assert(canon(3) == "https://example.com/Path/7?id=4")
+    assert(canon(4) == "http://example.com/a/b" && canon(4) == canon(5))
+    assert(canon(6) == "https://example.com:8443/x?id=1")
+  }
+
+  test("urlDedup groups by canonical form and keeps the lowest id") {
+    val s = sc
+    import s.implicits._
+    val d = Seq(
+      (10L, "https://a.example/p?id=1&utm_source=x"),
+      (3L, "HTTPS://A.EXAMPLE/p?id=1"),
+      (7L, "https://a.example/p?id=2")).toDF("doc_id", "url")
+    val out = CorpusRefine.urlDedup(d, "doc_id", "url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("https://a.example/p?id=1", 3L, 2L),
+      ("https://a.example/p?id=2", 7L, 1L)))
+  }
+
+  test("repetitionFeatures: hand-computed top-bigram fraction") {
+    val s = sc
+    import s.implicits._
+    // "x y x y x" → bigrams: [x y, y x, x y, y x] → top 2/4; distinct 2/5
+    val d = Seq((1L, "x y x y x"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = CorpusRefine.repetitionFeatures(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5, 2.0 / 5.0)))
+    assert(out(2L) == ((2L, 1L, 0.5, 1.0)))
+    assert(!out.contains(3L)) // <2 words → no bigrams → absent (oracle mirrors)
+    // per-document features must never shuffle: fully narrow plan
+    val plan = CorpusRefine.repetitionFeatures(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("paragraphDedup: first occurrence wins corpus-wide, brute-force parity") {
+    val s = sc
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"), // paras: "a b c", "d e f"
+      (2L, "a b c x y z"), // "a b c" dup of doc1#0 → dropped here
+      (3L, "d e f"), //        dup of doc1#1
+      (4L, "fresh words only here now yes")).toDF("doc_id", "text")
+    val out = CorpusRefine.paragraphDedup(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 2L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((1L, 0L)))
+    assert(out(4L) == ((2L, 2L)))
+    // determinism: rerun is identical
+    val again = CorpusRefine.paragraphDedup(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == out)
+  }
+
+  test("stratifiedSample: deterministic, rate-bounded, stratum-respecting") {
+    val s = sc
+    import s.implicits._
+    val d = (0L until 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 50, "de" -> 30)
+    val a = CorpusRefine.stratifiedSample(d, "doc_id", "lang", rates, 10)
+    val b = CorpusRefine.stratifiedSample(d, "doc_id", "lang", rates, 10)
+    assert(a.collect().toSeq.sortBy(_.getLong(0)) ==
+      b.collect().toSeq.sortBy(_.getLong(0)))
+    val byLang = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~667 docs per stratum; hash-uniform → near the nominal rates
+    assert(byLang("en") > 250 && byLang("en") < 420)
+    assert(byLang("de") > 130 && byLang("de") < 270)
+    assert(byLang("zh") > 30 && byLang("zh") < 110)
+    // sampling is a pure narrow filter: no exchange in the plan
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
