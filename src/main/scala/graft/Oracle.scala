@@ -522,6 +522,39 @@ object Oracle {
         |FROM g""".stripMargin
     },
 
+    "q_grok_syslog5424" -> {
+      // same compiled expansion; fields 1..9 = pri, ver, ts, host, app,
+      // proc, msgid, sd, msg. proc is nil on doc_id%3==0 and sd on odd
+      // doc_id: Java leaves the group null, DuckDB's name-list extract
+      // yields '' — NOTSPACE/SD can never legitimately match '', so
+      // nullif('') is an exact bridge.
+      val re = pipeline.expr.Grok.compile("%{SYSLOG5424LINE}").regex
+        .replace("'", "''")
+      val line =
+        """'<' || CAST(doc_id % 192 AS VARCHAR) || '>1 2026-01-01T00:00:' ||
+          | lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+          | 'Z host' || CAST(doc_id % 20 AS VARCHAR) ||
+          | ' app' || CAST(doc_id % 5 AS VARCHAR) ||
+          | ' ' || CASE WHEN doc_id % 3 = 0 THEN '-' ELSE CAST(1000 + doc_id % 100 AS VARCHAR) END ||
+          | ' id' || CAST(doc_id % 9 AS VARCHAR) ||
+          | ' ' || CASE WHEN doc_id % 2 = 0 THEN '[ex@32473 iut="' || CAST(doc_id % 4 AS VARCHAR) || '"]' ELSE '-' END ||
+          | ' t' || substr(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 10)""".stripMargin
+      s"""WITH lines AS (SELECT doc_id, $line AS l FROM documents),
+        |g AS (SELECT doc_id, regexp_extract(l, '$re',
+        |  ['pri','ver','ts','host','app','proc','msgid','sd','msg']) AS s FROM lines)
+        |SELECT doc_id,
+        | CAST(s.pri AS INTEGER) AS g_pri,
+        | CAST(s.ver AS INTEGER) AS g_ver,
+        | s.ts AS g_ts,
+        | s.host AS g_host,
+        | s.app AS g_app,
+        | nullif(s.proc, '') AS g_proc,
+        | s.msgid AS g_msgid,
+        | nullif(s.sd, '') AS g_sd,
+        | s.msg AS g_msg
+        |FROM g""".stripMargin
+    },
+
     "q_pii_redact" -> {
       // the SAME Java∩RE2 patterns the Spark side compiles (string-shared,
       // engine-independent execution — the grok-oracle contract)

@@ -435,6 +435,44 @@ object Queries {
       g.getField("agent").as("g_agent"))
   }
 
+  /** RFC 5424 structured-syslog line synthesized from doc columns: procid
+    * nil on doc_id%3==0, structured-data nil on odd doc_id (exercising the
+    * leftmost-first nil alternation on both engines). */
+  def syslog5424Line: org.apache.spark.sql.Column = concat(
+    lit("<"), pmod(col("doc_id"), lit(192L)).cast("string"),
+    lit(">1 2026-01-01T00:00:"),
+    lpad(pmod(col("doc_id"), lit(60L)).cast("string"), 2, "0"),
+    lit("Z host"), pmod(col("doc_id"), lit(20L)).cast("string"),
+    lit(" app"), pmod(col("doc_id"), lit(5L)).cast("string"),
+    lit(" "),
+    when(pmod(col("doc_id"), lit(3L)) === 0, lit("-"))
+      .otherwise((lit(1000L) + pmod(col("doc_id"), lit(100L))).cast("string")),
+    lit(" id"), pmod(col("doc_id"), lit(9L)).cast("string"),
+    lit(" "),
+    when(pmod(col("doc_id"), lit(2L)) === 0,
+      concat(lit("[ex@32473 iut=\""), pmod(col("doc_id"), lit(4L)).cast("string"),
+        lit("\"]")))
+      .otherwise(lit("-")),
+    lit(" t"), substring(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), 1, 10))
+
+  /** Grok classic composition #3: `%{SYSLOG5424LINE}` — modern structured
+    * syslog, the third daily log family next to HTTPD combined and RFC3164
+    * ([[qGrokHttpd]], SYSLOGLINE). */
+  def qGrokSyslog5424(s: SparkSession, dir: String): DataFrame = {
+    val g = pipeline.expr.Grok.extract(syslog5424Line, "%{SYSLOG5424LINE}")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      g.getField("s5_pri").as("g_pri"),
+      g.getField("s5_ver").as("g_ver"),
+      g.getField("s5_ts").as("g_ts"),
+      g.getField("s5_host").as("g_host"),
+      g.getField("s5_app").as("g_app"),
+      g.getField("s5_proc").as("g_proc"),
+      g.getField("s5_msgid").as("g_msgid"),
+      g.getField("s5_sd").as("g_sd"),
+      g.getField("s5_msg").as("g_msg"))
+  }
+
   /** COMPOSITE training-data pipeline: exact-dedup keepers ∘ language
     * allowlist ∘ quality thresholds — the ops composing as one relational
     * plan (one digest shuffle + narrow filters), the shape a corpus-cleaning

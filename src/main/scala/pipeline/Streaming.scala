@@ -41,6 +41,29 @@ object Streaming {
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     startDocs(readWebtext(spark, landingDir), outDir, trigger)
 
+  /**
+   * Streaming EXACT dedup: drop repeated payloads (same text digest)
+   * arriving within the watermark delay — the streaming twin of
+   * pipeline.ops.Dedup.exact / dropExactDuplicates, with the same null
+   * semantics (null-text rows pass through unconditionally: they belong to
+   * the deadletter path, and a shared null digest must not conflate
+   * distinct corrupt rows — dropDuplicates treats nulls as equal).
+   *
+   * State shape at scale: one digest per UNIQUE payload inside the
+   * watermark horizon, expired as the watermark passes (bounded by
+   * unique-rate × delay, not by traffic); only the 32-byte digest keys the
+   * state store, never the text.
+   */
+  def dedupDocs(docStream: DataFrame, delay: String = "1 hour"): DataFrame = {
+    val withDigest = docStream
+      .withColumn("digest", md5(col("text").cast("binary")))
+      .withWatermark("warc_ts", delay)
+    withDigest.filter(col("digest").isNotNull)
+      .dropDuplicatesWithinWatermark("digest")
+      .unionByName(withDigest.filter(col("digest").isNull))
+      .drop("digest")
+  }
+
   /** The shared routed-write stream over ANY doc-shaped stream (file tap,
     * bus tap, socket dev source): per micro-batch, the batch stage chain +
     * a partitioned write + a ledger commit. Per-sink counts come from
@@ -82,16 +105,20 @@ object Streaming {
    * Streaming PUSH delivery with the reference's exact count/time batch
    * semantics: routed stream → pipeline.streaming.Batcher.eventFlushes
    * (stateful batchSize/flushFreq buffering of the actual payload lines) →
-   * each flush record becomes ONE Transport batch (flush seq = batch id)
+   * each flush record becomes ONE Transport batch (EventFlush.batchId)
    * via Push.sendWithRetry, with retry + deadletter. Delivered line counts
    * therefore reconcile exactly with the batcher's flush accounting —
-   * the streaming twin of the batch path's Push.deliver.
+   * the streaming twin of the batch path's Push.deliver. `shards > 1`
+   * parallelizes a hot destination's buffering across that many state
+   * tasks (Batcher.eventFlushes scale note).
    */
   def startPushFlushes(routedStream: DataFrame, outDir: String,
                        batchSize: Int, flushMs: Long,
                        transport: io.Push.Transport, maxRetries: Int = 3,
-                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val flushes = streaming.Batcher.eventFlushes(routedStream, batchSize, flushMs)
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       shards: Int = 1): StreamingQuery = {
+    val flushes = streaming.Batcher.eventFlushes(
+      routedStream, batchSize, flushMs, shards)
     flushes.writeStream
       .option("checkpointLocation", s"$outDir/_push_checkpoint")
       .trigger(trigger)
@@ -100,7 +127,7 @@ object Streaming {
           b.foreachPartition {
             (it: Iterator[streaming.Batcher.EventFlush]) =>
               it.foreach(f => io.Push.sendWithRetry(
-                transport, f.sink, f.seq, f.payload, maxRetries,
+                transport, f.sink, f.batchId, f.payload, maxRetries,
                 deadletterDir = s"$outDir/deadletter"))
           }
           ()

@@ -21,7 +21,8 @@ import pipeline.stages.{Aggregate, Route, RouteRule}
  *   event to EVERY destination) → per-kind sinks.
  *
  * Source kinds: `file`/`scanner`/`journald` (JSON-line decode; journald
- * honors maxLineLenKB), `nginx_syslog`/`syslog` (envelope strip first),
+ * honors maxLineLenKB and an optional journalctl-MATCHES `query` over its
+ * fielded entries map), `nginx_syslog`/`syslog` (envelope strip first),
  * `eventlog` (XPath `query` compiled to a pushed Column predicate),
  * `mqtt` (bus-message decode with topic subscription + metadata columns).
  *
@@ -47,11 +48,15 @@ object ConfigRunner {
         // the source (`examples/journald_to_s3batch_config.json:5`) — on
         // BOTH projections: `text` AND every entries value (a multi-MB
         // MESSAGE must not bypass the size bound by riding the map)
-        src.maxLineLenKB.foldLeft(LineCodec.decodeJournald(raw)) { (d, kb) =>
-          Sources.truncate(d, kb, "text")
-            .withColumn("entries", transform_values(col("entries"),
-              (_, v) => substring(v, 1, kb * 1024)))
-        }
+        // an optional `query` is a journalctl(1) MATCHES expression over
+        // the entries map — the journald twin of eventlog's XPath filter
+        val decoded =
+          src.maxLineLenKB.foldLeft(LineCodec.decodeJournald(raw)) { (d, kb) =>
+            Sources.truncate(d, kb, "text")
+              .withColumn("entries", transform_values(col("entries"),
+                (_, v) => substring(v, 1, kb * 1024)))
+          }
+        Sources.filtered(decoded, JournaldMatch.compileOpt(src.query))
       case "nginx_syslog" | "syslog" =>
         LineCodec.decode(Sources.stripSyslog(raw, "value"))
       case "eventlog" =>

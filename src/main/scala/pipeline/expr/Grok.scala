@@ -82,7 +82,18 @@ object Grok {
     "PROG" -> "[A-Za-z0-9._/-]+",
     "SYSLOGLINE" ->
       ("%{SYSLOGTIMESTAMP:sl_ts} %{NOTSPACE:logsource} %{PROG:program}" +
-        "(?:\\[%{INT:pid:int}\\])?: %{GREEDYDATA:message}"))
+        "(?:\\[%{INT:pid:int}\\])?: %{GREEDYDATA:message}"),
+    // RFC 5424 structured syslog: <PRI>VER TS HOST APP PROCID MSGID SD MSG.
+    // Nilable fields ('-') use a leading '-' alternative — leftmost-first
+    // submatch semantics agree between java.util.regex and RE2, so a nil
+    // leaves the named group non-participating on both engines.
+    // the nil '-' alternatives live OUTSIDE the named references: a nil
+    // must leave the group non-participating (null field), not capture "-"
+    "SYSLOG5424SD" -> "(?:\\[[^\\]]+\\])+",
+    "SYSLOG5424LINE" ->
+      ("<%{INT:s5_pri:int}>%{INT:s5_ver:int} %{TIMESTAMP_ISO8601:s5_ts} " +
+        "%{NOTSPACE:s5_host} %{NOTSPACE:s5_app} (?:-|%{NOTSPACE:s5_proc}) " +
+        "%{NOTSPACE:s5_msgid} (?:-|%{SYSLOG5424SD:s5_sd}) %{GREEDYDATA:s5_msg}"))
 
   final case class Field(name: String, typ: String) {
     def dataType: DataType = typ match {

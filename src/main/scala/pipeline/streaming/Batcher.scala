@@ -84,9 +84,15 @@ object Batcher {
   /** One flushed EVENT batch: the JSON payload lines themselves — the
     * reference's destination semantics (buffer events, send the batch:
     * `examples/journald_to_s3batch_config.json:11-12`). `seq` is dense per
-    * sink, so it doubles as the Transport batch id. */
-  final case class EventFlush(sink: String, seq: Long, trigger: String,
-                              first_ts_ms: Long, payload: Seq[String])
+    * (sink, shard); [[batchId]] folds the shard in for a per-sink-unique
+    * Transport batch id. */
+  final case class EventFlush(sink: String, shard: Int, seq: Long,
+                              trigger: String, first_ts_ms: Long,
+                              payload: Seq[String]) {
+    /** Per-sink-unique transport id: dense `seq` when unsharded (shard 0),
+      * shard-prefixed otherwise. */
+    def batchId: Long = (shard.toLong << 40) | seq
+  }
 
   /** Buffered-event state: ≤ batchSize−1 payload lines per sink (count
     * flushes drain full batches inline, so state is bounded by CONFIG, not
@@ -95,7 +101,8 @@ object Batcher {
 
   /** Internal wire row for [[eventFlushes]] (public: encoder codegen needs
     * constructor access from generated projections). */
-  final case class EvIn(sink: String, warc_ts: java.sql.Timestamp, line: String)
+  final case class EvIn(sink: String, shard: Int,
+                        warc_ts: java.sql.Timestamp, line: String)
 
   /**
    * EVENT batcher: routed doc stream → per-sink batches of the actual
@@ -108,11 +115,16 @@ object Batcher {
    * Scale note: unlike [[flushes]] (count-only state, map-side combined),
    * buffering REAL events forces every routed row of a sink through that
    * sink's stateful task — inherent to a single ordered buffer per
-   * destination (the reference daemon has the same structure). Throughput
-   * shards by splitting hot sinks into (sink, shard) keys upstream; state
-   * stays bounded at batchSize−1 lines per key either way.
+   * destination (the reference daemon has the same structure). `shards > 1`
+   * splits each hot sink into (sink, shard) keys — deterministic per-line
+   * hash assignment — so a hot destination's buffering parallelizes across
+   * `shards` state tasks, each with its own dense `seq` (the Transport id
+   * folds the shard in, [[EventFlush.batchId]]). State stays bounded at
+   * batchSize−1 lines per key either way.
    */
-  def eventFlushes(routed: DataFrame, batchSize: Int, flushMs: Long): Dataset[EventFlush] = {
+  def eventFlushes(routed: DataFrame, batchSize: Int, flushMs: Long,
+                   shards: Int = 1): Dataset[EventFlush] = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = routed.sparkSession
     import spark.implicits._
     val payloadCols = routed.columns.filterNot(c => c == "html").map(col).toSeq
@@ -120,12 +132,15 @@ object Batcher {
       .filter(col("warc_ts").isNotNull)
       .select(col("sink"), col("warc_ts"),
         to_json(struct(payloadCols: _*)).as("line"))
+      // xxhash64 is a physical concern here (shard routing), never a result
+      .withColumn("shard", pmod(xxhash64(col("line")), lit(shards)).cast("int"))
       .withWatermark("warc_ts", "0 seconds")
       .as[EvIn]
-    in.groupByKey(_.sink)
+    in.groupByKey(e => (e.sink, e.shard))
       .flatMapGroupsWithState[EBState, EventFlush](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (sink: String, events: Iterator[EvIn], state: GroupState[EBState]) =>
+        (key: (String, Int), events: Iterator[EvIn], state: GroupState[EBState]) =>
+          val (sink, shard) = key
           val prev = state.getOption
           val wm = state.getCurrentWatermarkMs()
           val out = Seq.newBuilder[EventFlush]
@@ -133,7 +148,7 @@ object Batcher {
           if (state.hasTimedOut) {
             val st = prev.get
             if (st.buffer.nonEmpty) {
-              out += EventFlush(sink, st.seq, "timeout", st.firstTsMs, st.buffer)
+              out += EventFlush(sink, shard, st.seq, "timeout", st.firstTsMs, st.buffer)
               next = Some(EBState(Vector.empty, 0L, st.seq + 1))
             }
           } else {
@@ -148,14 +163,14 @@ object Batcher {
               firstTs = math.min(firstTs, e.warc_ts.getTime)
               buf :+= e.line
               if (buf.length >= batchSize) {
-                out += EventFlush(sink, seq, "count", firstTs, buf)
+                out += EventFlush(sink, shard, seq, "count", firstTs, buf)
                 seq += 1
                 buf = Vector.empty
                 firstTs = Long.MaxValue
               }
             }
             if (buf.nonEmpty && wm >= firstTs + flushMs) {
-              out += EventFlush(sink, seq, "time", firstTs, buf)
+              out += EventFlush(sink, shard, seq, "time", firstTs, buf)
               seq += 1
               buf = Vector.empty
               firstTs = Long.MaxValue

@@ -128,6 +128,40 @@ class ConfigRunnerSpec extends AnyFunSuite {
       .count() == docs.filter(col("url").isNotNull).count())
   }
 
+  test("journald query compiles journalctl MATCHES over the entries map") {
+    val s = sc
+    val base = pipeline.config.SourceSpec("jd", "journald")
+    val raw = ConfigRunner.fixtureInput(s, base, 60, 2)
+    val all = ConfigRunner.fromSource(base, raw)
+    val langEn = all.filter(try_element_at(col("entries"), lit("lang")) === "en").count()
+    val langDe = all.filter(try_element_at(col("entries"), lit("lang")) === "de").count()
+    assert(langEn > 0 && langDe > 0)
+
+    // single term
+    val q1 = ConfigRunner.fromSource(base.copy(query = Some("lang=en")), raw)
+    assert(q1.count() == langEn)
+    // same field twice = OR
+    val q2 = ConfigRunner.fromSource(base.copy(query = Some("lang=en lang=de")), raw)
+    assert(q2.count() == langEn + langDe)
+    // distinct fields = AND (url never equals the lang value → empty)
+    val q3 = ConfigRunner.fromSource(
+      base.copy(query = Some("lang=en url=nope")), raw)
+    assert(q3.count() == 0)
+    // '+' = disjunction of groups
+    val q4 = ConfigRunner.fromSource(
+      base.copy(query = Some("lang=en url=nope + lang=de")), raw)
+    assert(q4.count() == langDe)
+    // missing field never matches (journalctl semantics)
+    val q5 = ConfigRunner.fromSource(
+      base.copy(query = Some("NO_SUCH_FIELD=x")), raw)
+    assert(q5.count() == 0)
+    // malformed terms fail config-shaped
+    val e = intercept[IllegalArgumentException] {
+      pipeline.config.JournaldMatch.compile("not-a-term")
+    }
+    assert(e.getMessage.contains("FIELD=VALUE"))
+  }
+
   test("conflicting grok schemas across sources fail with a config-shaped error") {
     val s = sc
     val spec = pipeline.config.PipelineSpec(

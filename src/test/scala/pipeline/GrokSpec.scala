@@ -86,6 +86,23 @@ class GrokSpec extends AnyFunSuite {
     val s1 = so(1).getStruct(0)
     assert(s1.getString(2) == "kernel" && s1.isNullAt(3) &&
       s1.getString(4).startsWith("oom-killer"))
+    // RFC 5424: nil procid and nil structured-data both leave their named
+    // groups non-participating (leftmost-first '-' alternative)
+    val v = Grok.compile("%{SYSLOG5424LINE}")
+    assert(v.fields.map(_.name) == Seq("s5_pri", "s5_ver", "s5_ts", "s5_host",
+      "s5_app", "s5_proc", "s5_msgid", "s5_sd", "s5_msg"))
+    val s54 = Seq(
+      """<165>1 2026-01-01T00:00:05Z web01 app2 1042 id7 [ex@32473 iut="3"] hello msg""",
+      """<34>1 2026-01-01T00:00:06Z web02 app0 - id1 - all nil here""").toDF("line")
+    val vo = s54.select(Grok.extract(col("line"), "%{SYSLOG5424LINE}").as("g")).collect()
+    val v0 = vo(0).getStruct(0)
+    assert(v0.getInt(0) == 165 && v0.getInt(1) == 1)
+    assert(v0.getString(2) == "2026-01-01T00:00:05Z" && v0.getString(3) == "web01")
+    assert(v0.getString(5) == "1042" && v0.getString(7) == """[ex@32473 iut="3"]""")
+    assert(v0.getString(8) == "hello msg")
+    val v1 = vo(1).getStruct(0)
+    assert(v1.getInt(0) == 34 && v1.isNullAt(5) && v1.isNullAt(7) &&
+      v1.getString(8) == "all nil here")
   }
 
   test("SQL surface graft_grok == Column API; config grok wiring") {

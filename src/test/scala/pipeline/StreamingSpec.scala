@@ -156,6 +156,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(om.readTree(firstLine).hasNonNull("url"))
   }
 
+  test("sharded push: hot-sink batching splits across shards, totals unchanged") {
+    val s = sc
+    import s.implicits._
+    val landing = Files.createTempDirectory("graft-shard-landing").toString
+    val out = Files.createTempDirectory("graft-shard-out").toString
+    Webtext.dataset(s, 500, 1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Webtext.dataset(s, 1, 1)
+      .map(d => d.copy(url = d.url + "?s",
+        warc_ts = new java.sql.Timestamp(d.warc_ts.getTime + 365L * 86400000L)))
+      .write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Webtext.dataset(s, 1, 1)
+      .map(d => d.copy(url = d.url + "?t",
+        warc_ts = new java.sql.Timestamp(d.warc_ts.getTime + 730L * 86400000L)))
+      .write.mode("append").parquet(landing)
+
+    val stream = s.readStream.schema(pipeline.model.Schemas.webtext)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val routed = Pipeline.transform(stream)
+    val q = Streaming.startPushFlushes(routed, out, batchSize = 64,
+      flushMs = 60 * 60000L,
+      transport = new io.Push.LocalFileTransport(s"$out/pushed"), shards = 3)
+    q.awaitTermination()
+
+    val pushedDir = new java.io.File(s"$out/pushed")
+    assert(pushedDir.exists, "no pushed batches")
+    val perSink = pushedDir.listFiles().filter(_.isDirectory).map { d =>
+      val files = d.listFiles().sortBy(_.getName)
+      // batch ids are shard-prefixed (shard << 40 | seq): at least two
+      // distinct shards must appear on the busy sinks
+      val shards = files.map(_.getName.stripPrefix("batch-")
+        .stripSuffix(".jsonl").toLong >> 40).distinct
+      val lines = files.map(f => scala.io.Source.fromFile(f, "UTF-8").getLines().size)
+      assert(lines.forall(_ <= 64))
+      (d.getName, shards.length, lines.sum.toLong)
+    }
+    // same reconciliation as the unsharded test: totals per sink unchanged
+    val expected = RefNormalizer.routedCounts((0L until 500L).iterator.map(Webtext.row))
+    perSink.foreach { case (sink, nShards, got) =>
+      if (sink != "deadletter") {
+        val n = expected.getOrElse(sink, 0L)
+        assert(got >= n && got <= n + 2, s"sink $sink: pushed $got, routed $n")
+        assert(nShards >= 2, s"sink $sink used only $nShards shard(s)")
+      }
+    }
+  }
+
+  test("streaming exact dedup drops repeats within the watermark") {
+    val s = sc
+    import s.implicits._
+    val landing = Files.createTempDirectory("graft-dedup-landing").toString
+    // file 2 repeats file 1's payloads exactly (only urls differ) → every
+    // non-null text in file 2 is a duplicate within the watermark horizon
+    Webtext.dataset(s, 400, 1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Webtext.dataset(s, 400, 1)
+      .map(d => d.copy(url = d.url + "?b"))
+      .write.mode("append").parquet(landing)
+
+    val all = s.read.parquet(landing)
+    val expectUnique = all.filter(col("text").isNotNull)
+      .select(md5(col("text").cast("binary"))).distinct().count()
+    val expectNulls = all.filter(col("text").isNull).count()
+
+    val stream = s.readStream.schema(pipeline.model.Schemas.webtext)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = Streaming.dedupDocs(stream, delay = "90 days").writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("gdd").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = s.sql("SELECT * FROM dedup_stream")
+    assert(out.filter(col("text").isNotNull).count() == expectUnique)
+    // null-text (deadletter-path) rows pass through uncollapsed
+    assert(out.filter(col("text").isNull).count() == expectNulls)
+    // schema is unchanged (digest is internal)
+    assert(out.columns.sorted.toSeq == all.columns.sorted.toSeq)
+  }
+
   test("event-time window counts with watermark") {
     val s = sc
     val landing = Files.createTempDirectory("graft-landing3").toString
