@@ -49,6 +49,12 @@ object Streaming {
    * the deadletter path, and a shared null digest must not conflate
    * distinct corrupt rows — dropDuplicates treats nulls as equal).
    *
+   * Rows WITHOUT an event time (a malformed timestamp nulls warc_ts while
+   * text survives — e.g. decodeJournald's try_to_timestamp) also pass
+   * through: a null event time inside an event-time stateful operator is
+   * silently treated as infinitely late once the watermark moves — the
+   * same guard Batcher.flushes applies before ITS stateful op.
+   *
    * State shape at scale: one digest per UNIQUE payload inside the
    * watermark horizon, expired as the watermark passes (bounded by
    * unique-rate × delay, not by traffic); only the 32-byte digest keys the
@@ -58,9 +64,10 @@ object Streaming {
     val withDigest = docStream
       .withColumn("digest", md5(col("text").cast("binary")))
       .withWatermark("warc_ts", delay)
-    withDigest.filter(col("digest").isNotNull)
+    val canDedup = col("digest").isNotNull && col("warc_ts").isNotNull
+    withDigest.filter(canDedup)
       .dropDuplicatesWithinWatermark("digest")
-      .unionByName(withDigest.filter(col("digest").isNull))
+      .unionByName(withDigest.filter(!canDedup))
       .drop("digest")
   }
 

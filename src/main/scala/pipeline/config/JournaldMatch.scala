@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions.{col, lit, try_element_at}
  *   PRIORITY=3 _SYSTEMD_UNIT=nginx.service + PRIORITY=0
  *   ≙ (PRIORITY='3' AND unit='nginx.service') OR PRIORITY='0'
  *   PRIORITY=3 PRIORITY=4   ≙ PRIORITY IN ('3','4')
+ *   MESSAGE="Started nginx"  ≙ MESSAGE = 'Started nginx'
  * }}}
+ *
+ * journalctl matches are separate argv words, so a value with spaces is
+ * expressible there via shell quoting; in this single-string config
+ * surface, double quotes around the VALUE carry spaces (`F="a b"`).
  *
  * All comparisons are string equality on the raw field value — journald
  * fields are untyped byte strings, so there is no numeric coercion (the
@@ -31,22 +36,55 @@ object JournaldMatch {
   val EntriesCol = "entries"
 
   def compile(query: String): Column = {
-    val groups = query.trim.split("(^|\\s)\\+(\\s|$)").toSeq
-      .map(_.trim).filter(_.nonEmpty)
+    // tokenize FIRST (quotes survive), then split groups on standalone '+'
+    // tokens — a quoted value containing " + " must not split a group
+    val toks = tokenize(query.trim)
+    val groups = split(toks, "+").filter(_.nonEmpty)
     require(groups.nonEmpty, s"empty journald match [$query]")
-    groups.map(compileGroup).reduce(_ || _)
+    groups.map(g => compileGroup(g.map(term))).reduce(_ || _)
   }
 
-  private def compileGroup(g: String): Column = {
-    val terms = g.split("\\s+").toSeq.filter(_.nonEmpty).map { t =>
-      val i = t.indexOf('=')
-      require(i > 0,
-        s"bad journald match term '$t' (want FIELD=VALUE, journalctl(1) MATCHES)")
-      val field = t.substring(0, i)
-      require(field.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"bad journald field name '$field'")
-      (field, t.substring(i + 1))
+  private def split[A](xs: Seq[A], sep: A): Seq[Seq[A]] =
+    xs.foldLeft(Vector(Vector.empty[A])) { (acc, x) =>
+      if (x == sep) acc :+ Vector.empty else acc.init :+ (acc.last :+ x)
     }
+
+  /** One FIELD=VALUE term; a double-quoted VALUE carries whitespace. */
+  private def term(t: String): (String, String) = {
+    val i = t.indexOf('=')
+    require(i > 0,
+      s"bad journald match term '$t' (want FIELD=VALUE, journalctl(1) MATCHES)")
+    val field = t.substring(0, i)
+    require(field.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bad journald field name '$field'")
+    val v = t.substring(i + 1)
+    val unquoted =
+      if (v.length >= 2 && v.head == '"' && v.last == '"')
+        v.substring(1, v.length - 1)
+      else v
+    (field, unquoted)
+  }
+
+  /** Whitespace tokenizer that keeps double-quoted runs intact. */
+  private def tokenize(g: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    var inQuote = false
+    g.foreach {
+      case c if c.isWhitespace && !inQuote =>
+        if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
+      case '"' =>
+        inQuote = !inQuote
+        cur.append('"')
+      case c =>
+        cur.append(c)
+    }
+    require(!inQuote, s"unterminated quote in journald match [$g]")
+    if (cur.length > 0) out += cur.toString
+    out.result()
+  }
+
+  private def compileGroup(terms: Seq[(String, String)]): Column = {
     // same field ORs, distinct fields AND — preserve first-seen field order
     // so the compiled plan is deterministic
     val fieldsInOrder = terms.map(_._1).distinct

@@ -119,7 +119,11 @@ object ImageDimsExpr {
           r.setInput(iis)
           Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
         } catch {
-          case _: java.io.IOException => None
+          // JDK readers throw unchecked (NegativeArraySize etc.) on crafted
+          // headers whose magic they recognized — corrupt payloads must
+          // yield None, never kill the task (this guards decodeMeta AND
+          // resize's header pre-check)
+          case scala.util.control.NonFatal(_) => None
         } finally r.dispose()
       }
     } finally iis.close()

@@ -93,30 +93,40 @@ object CorpusRefine {
    * groupBy. Documents with < 2 words have no bigrams and are dropped.
    */
   def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // STAGED projections: each expensive array (words, sorted bigrams) is
+    // aliased once and referenced from the next select — HOFs run
+    // interpreted (outside codegen's subexpression elimination), so
+    // inlining them into every output column would re-tokenize and re-sort
+    // per column; CollapseProject keeps non-cheap aliases referenced more
+    // than once in their own Project, preserving single evaluation.
     val words = tokens(col(textCol))
-    val bigrams = when(size(words) >= 2,
-      transform(sequence(lit(1), greatest(size(words) - 1, lit(1))),
-        i => concat_ws(" ", get(words, i - 1), get(words, i))))
-      .otherwise(array().cast("array<string>"))
-    val sortedBg = array_sort(bigrams)
-    // (prev, current-run, best-run) left fold; "" is never a bigram
-    // (concat_ws over two tokens always emits the separator)
-    val st = aggregate(sortedBg,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      })
-    df.filter(size(words) >= 2)
-      .select(
-        col(idCol),
-        size(sortedBg).cast("long").as("n_bigrams"),
-        st.getField("best").as("top_bigram_n"),
-        (st.getField("best").cast("double") / size(sortedBg).cast("double"))
+    def bigramsOf(w: Column): Column =
+      transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+        i => concat_ws(" ", get(w, i - 1), get(w, i)))
+    // (prev, current-run, best-run) left fold over the sorted bigrams;
+    // "" is never a bigram (concat_ws over two tokens emits the separator)
+    def runLenBest(sb: Column): Column =
+      aggregate(sb,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        }).getField("best")
+    df.select(col(idCol), words.as("_w"))
+      .filter(size(col("_w")) >= 2)
+      .select(col(idCol), col("_w"),
+        array_sort(bigramsOf(col("_w"))).as("_sb"))
+      .select(col(idCol),
+        size(col("_sb")).cast("long").as("n_bigrams"),
+        runLenBest(col("_sb")).as("top_bigram_n"),
+        size(array_distinct(col("_w"))).cast("long").as("_ndw"),
+        size(col("_w")).cast("long").as("_nw"))
+      .select(col(idCol), col("n_bigrams"), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
           .as("top_bigram_fraction"),
-        (size(array_distinct(words)).cast("double") / size(words).cast("double"))
+        (col("_ndw").cast("double") / col("_nw").cast("double"))
           .as("distinct_word_ratio"))
   }
 

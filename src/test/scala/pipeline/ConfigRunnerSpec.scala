@@ -160,6 +160,18 @@ class ConfigRunnerSpec extends AnyFunSuite {
       pipeline.config.JournaldMatch.compile("not-a-term")
     }
     assert(e.getMessage.contains("FIELD=VALUE"))
+    // quoted values carry spaces (journalctl argv-quoting equivalent) and
+    // a quoted " + " must NOT split disjunction groups
+    import org.apache.spark.sql.functions.{map_from_arrays, array, lit => l}
+    val m = s.range(1).select(map_from_arrays(
+      array(l("MESSAGE"), l("U")), array(l("Started a + b"), l("x"))).as("entries"))
+    assert(m.filter(pipeline.config.JournaldMatch.compile(
+      """MESSAGE="Started a + b" U=x""")).count() == 1)
+    assert(m.filter(pipeline.config.JournaldMatch.compile(
+      """MESSAGE="nope" + U=x""")).count() == 1)
+    intercept[IllegalArgumentException] {
+      pipeline.config.JournaldMatch.compile("""MESSAGE="unterminated""")
+    }
   }
 
   test("conflicting grok schemas across sources fail with a config-shaped error") {

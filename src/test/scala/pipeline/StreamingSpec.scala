@@ -209,17 +209,28 @@ class StreamingSpec extends AnyFunSuite {
     import s.implicits._
     val landing = Files.createTempDirectory("graft-dedup-landing").toString
     // file 2 repeats file 1's payloads exactly (only urls differ) → every
-    // non-null text in file 2 is a duplicate within the watermark horizon
-    Webtext.dataset(s, 400, 1).write.mode("append").parquet(landing)
+    // non-null text in file 2 is a duplicate within the watermark horizon.
+    // Both files also carry corrupt rows: null TEXT (no digest) and null
+    // WARC_TS (no event time) — each must pass through UNCOLLAPSED even
+    // though their digests/texts repeat across the two files.
+    def file(tag: String) = Webtext.dataset(s, 400, 1)
+      .map { d =>
+        val dd = d.copy(url = d.url + tag)
+        if (d.url.hashCode % 29 == 0) dd.copy(text = null)
+        else if (d.url.hashCode % 31 == 0) dd.copy(warc_ts = null)
+        else dd
+      }
+    file("?a").write.mode("append").parquet(landing)
     Thread.sleep(1100)
-    Webtext.dataset(s, 400, 1)
-      .map(d => d.copy(url = d.url + "?b"))
-      .write.mode("append").parquet(landing)
+    file("?b").write.mode("append").parquet(landing)
 
     val all = s.read.parquet(landing)
-    val expectUnique = all.filter(col("text").isNotNull)
+    val dedupable = all.filter(col("text").isNotNull && col("warc_ts").isNotNull)
+    val expectUnique = dedupable
       .select(md5(col("text").cast("binary"))).distinct().count()
-    val expectNulls = all.filter(col("text").isNull).count()
+    val expectPassthrough = all.count() - dedupable.count()
+    assert(expectPassthrough >= 4, // both corrupt kinds present in both files
+      s"fixture must exercise the passthrough branch: $expectPassthrough")
 
     val stream = s.readStream.schema(pipeline.model.Schemas.webtext)
       .option("maxFilesPerTrigger", 1).parquet(landing)
@@ -231,9 +242,12 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
 
     val out = s.sql("SELECT * FROM dedup_stream")
-    assert(out.filter(col("text").isNotNull).count() == expectUnique)
-    // null-text (deadletter-path) rows pass through uncollapsed
-    assert(out.filter(col("text").isNull).count() == expectNulls)
+    assert(out.filter(col("text").isNotNull && col("warc_ts").isNotNull)
+      .count() == expectUnique)
+    // null-text AND null-warc_ts (deadletter-path) rows pass through
+    // uncollapsed — they must not enter the event-time stateful operator
+    assert(out.filter(col("text").isNull || col("warc_ts").isNull)
+      .count() == expectPassthrough)
     // schema is unchanged (digest is internal)
     assert(out.columns.sorted.toSeq == all.columns.sorted.toSeq)
   }
