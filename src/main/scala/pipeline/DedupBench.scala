@@ -71,6 +71,35 @@ object DedupBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"$name","rows":$n,"sec":${sec}%.2f,"docs_per_sec":${(n / sec).toLong},"result_rows":$r}""")
     }
+
+    // --mode corpus: the corpus-refinement family at scale (url column kept)
+    if (conf.get("--mode").contains("corpus")) {
+      import pipeline.ops.CorpusRefine
+      val cinput = conf.getOrElse("--cinput", s"/tmp/graft-corpus-$n")
+      if (!new java.io.File(cinput).exists()) {
+        Webtext.df(spark, n, 64).select(
+          xxhash64(col("url")).as("id"), col("url"), col("text"), col("lang"))
+          .write.mode("overwrite").parquet(cinput)
+      }
+      val cdocs = spark.read.parquet(cinput)
+      cdocs.limit(1000).count() // warm
+      time("pii_redact")(cdocs
+        .select(CorpusRefine.redactPii(col("text")).as("r"),
+          CorpusRefine.piiCounts(col("text")).as("c"))
+        .filter(length(col("r")) > 0).count())
+      time("url_canonical")(cdocs
+        .select(CorpusRefine.canonicalizeUrl(col("url")).as("u"))
+        .filter(length(col("u")) > 0).count())
+      time("url_dedup")(CorpusRefine.urlDedup(cdocs, "id", "url").count())
+      time("repetition")(CorpusRefine.repetitionFeatures(cdocs, "id", "text")
+        .filter(col("top_bigram_fraction") > 0.2).count())
+      time("paragraph_dedup")(
+        CorpusRefine.paragraphDedup(cdocs, "id", "text", k = 8).count())
+      time("stratified_sample")(CorpusRefine.stratifiedSample(
+        cdocs, "id", "lang", Map("en" -> 50, "de" -> 30), 10).count())
+      spark.stop()
+      return
+    }
     time("dedup_exact")(Dedup.exact(docs, "id", "text").filter(col("n_copies") > 1).count())
     time("dedup_exact_apply")(Dedup.dropExactDuplicates(docs, "id", "text").count())
     // the word-soup fixture's shingle entropy is unrealistically low, so

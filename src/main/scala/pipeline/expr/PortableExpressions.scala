@@ -178,6 +178,48 @@ case class SimHashExpr(child: Expression, bits: Int)
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
 }
 
+/** One-pass repetition stats over word bigrams — same values as the
+  * sort+run-length HOF formulation in CorpusRefine.repetitionFeatures
+  * (a hash count's max == the max run length of ANY total order, so the
+  * counting method is parity-irrelevant). Null when the text has fewer
+  * than 2 words (parity with the HOF path's `size(words) >= 2` filter:
+  * callers drop null rows). */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  def compute(input: Any): Any = {
+    val words = PortableHash.tokens(input.asInstanceOf[UTF8String].toString)
+    if (words.length < 2) return null
+    val distinct = new java.util.HashSet[String](words.length * 2)
+    var i = 0
+    while (i < words.length) { distinct.add(words(i)); i += 1 }
+    // tokens are \\s+-split so they contain no whitespace — the
+    // space-joined key is injective per (left, right) pair and is
+    // byte-identical to the HOF path's concat_ws(" ", l, r) bigram string
+    val counts = new java.util.HashMap[String, Long](words.length * 2)
+    var top = 0L
+    i = 0
+    while (i < words.length - 1) {
+      val key = words(i) + " " + words(i + 1)
+      val c = counts.merge(key, 1L, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((words.length - 1).toLong, top, distinct.size.toLong,
+        words.length.toLong))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr = copy(child = c)
+}
+
 /** Rolling word-level fingerprint — same value as TextAnalysis.fingerprint. */
 case class FingerprintExpr(child: Expression)
     extends UnaryExpression {
@@ -306,6 +348,7 @@ object PortableExprs {
     c(MinHashSigExpr(e(text), nGram, numHashes))
   def simhash(text: Column, bits: Int): Column = c(SimHashExpr(e(text), bits))
   def fingerprint(text: Column): Column = c(FingerprintExpr(e(text)))
+  def repetitionStats(text: Column): Column = c(RepetitionStatsExpr(e(text)))
   def hyperplaneSig(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     c(HyperplaneSigExpr(e(vec), planes, dim, planeOffset))
   def shingles(text: Column, nGram: Int): Column = c(ShinglesExpr(e(text), nGram))

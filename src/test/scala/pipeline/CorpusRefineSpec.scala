@@ -100,6 +100,21 @@ class CorpusRefineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("native repetition stats == HOF formulation, bit for bit") {
+    val s = sc
+    import s.implicits._
+    val d = (Seq(
+      (1L, "x y x y x"), (2L, "a b c"), (3L, "solo"), (4L, ""),
+      (5L, null.asInstanceOf[String]), (6L, "  padded   spaces  here "),
+      (7L, "a a a a a a"), (8L, "tab\tand\nnewline split")) ++
+      (100L until 300L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} end")))
+      .toDF("doc_id", "text")
+    val nat = CorpusRefine.repetitionFeatures(d, "doc_id", "text")
+    val hof = CorpusRefine.repetitionFeaturesHof(d, "doc_id", "text")
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
+    assert(nat.count() > 0 && nat.count() == hof.count())
+  }
+
   test("paragraphDedup: first occurrence wins corpus-wide, brute-force parity") {
     val s = sc
     import s.implicits._
