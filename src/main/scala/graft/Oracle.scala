@@ -631,6 +631,63 @@ object Oracle {
         | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY 1""".stripMargin,
 
+    "q_paragraph_apply" ->
+      // same chunking + first-occurrence rule as q_paragraph_dedup, then
+      // per-doc reassembly in position order
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 1
+        |    THEN list_transform(range(0, greatest((len(w)+2)//3, 1)),
+        |           i -> array_to_string(w[i*3+1:i*3+3], ' '))
+        |    ELSE [] END AS ps FROM w),
+        |e AS (SELECT doc_id, unnest(ps) AS para,
+        |        unnest(range(1, len(ps)+1)) AS pos FROM p),
+        |r AS (SELECT doc_id, pos, para,
+        |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        | FROM e)
+        |SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS clean_text
+        |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    "q_tfidf" ->
+      // rational tf-idf: score = tf·N/df (exact integers into one IEEE
+      // division — libm ln() is NOT guaranteed bit-identical across engines)
+      """WITH pr AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term != '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM pr GROUP BY 1),
+        |nq AS (SELECT count(DISTINCT doc_id) AS n_docs FROM pr),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |  CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        | FROM pr JOIN dfq USING (term) CROSS JOIN nq),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+        | FROM sc)
+        |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q_corpus_assemble" -> urlCanonicalSql(
+      s"""SELECT d.doc_id, d.lang,
+        | CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_words
+        |FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM canon GROUP BY url_canon) k
+        |  USING (doc_id)
+        |WHERE d.lang IN ('en', 'de', 'fr')
+        |  AND len(regexp_split_to_array(trim(d.text), '\\s+')) >= 2
+        |  AND CAST((SELECT st.best FROM (SELECT list_reduce(
+        |    list_prepend({'prev': '', 'run': CAST(0 AS BIGINT), 'best': CAST(0 AS BIGINT)},
+        |      list_transform(
+        |        list_sort(list_transform(range(1, len(regexp_split_to_array(trim(d.text), '\\s+'))),
+        |          i -> regexp_split_to_array(trim(d.text), '\\s+')[i] || ' ' ||
+        |               regexp_split_to_array(trim(d.text), '\\s+')[i+1])),
+        |        x -> {'prev': x, 'run': CAST(1 AS BIGINT), 'best': CAST(1 AS BIGINT)})),
+        |    (a, e) -> CASE WHEN e.prev = a.prev
+        |       THEN {'prev': e.prev, 'run': a.run + 1, 'best': greatest(a.best, a.run + 1)}
+        |       ELSE {'prev': e.prev, 'run': CAST(1 AS BIGINT), 'best': greatest(a.best, CAST(1 AS BIGINT))} END) AS st) t)
+        |   AS DOUBLE) / CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) - 1 AS DOUBLE) < 0.5
+        |  AND ${h32("CAST(d.doc_id AS VARCHAR)")} % 100 <
+        |    CASE WHEN d.lang = 'en' THEN 50 WHEN d.lang = 'de' THEN 30 ELSE 10 END""".stripMargin),
+
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${h32("CAST(doc_id AS VARCHAR)")} % 100 <

@@ -553,6 +553,36 @@ object Queries {
   def qParagraphDedup(s: SparkSession, dir: String): DataFrame =
     CorpusRefine.paragraphDedup(t(s, dir, "documents"), "doc_id", "text", k = 3)
 
+  /** Paragraph-dedup APPLY: the rewritten corpus (kept chunks re-joined in
+    * original order). */
+  def qParagraphApply(s: SparkSession, dir: String): DataFrame =
+    CorpusRefine.paragraphDedupApply(t(s, dir, "documents"), "doc_id", "text", k = 3)
+
+  /** Rational TF-IDF top-3 salient terms per doc (log-free score
+    * `tf·N/df` — IEEE-exact across engines; see CorpusRefine.tfidfTopK). */
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    CorpusRefine.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+
+  /** COMPOSITE corpus assembly: URL-dedup keepers ∘ language allowlist ∘
+    * repetition filter (native one-pass stats, narrow) ∘ deterministic
+    * stratified sampling — the corpus-refinement ops composing into ONE
+    * plan, the q_corpus_clean pattern for the round-3 family. */
+  def qCorpusAssemble(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val urlKeep = CorpusRefine.urlDedup(
+      docs.select(col("doc_id"), urlLine.as("url")), "doc_id", "url")
+      .select(col("keep_id").as("doc_id"))
+    val base = docs.join(urlKeep, Seq("doc_id"), "left_semi")
+      .filter(col("lang").isin("en", "de", "fr"))
+      .withColumn("_st", pipeline.expr.PortableExprs.repetitionStats(col("text")))
+      .filter(col("_st").isNotNull &&
+        col("_st.top_bigram_n").cast("double") /
+          col("_st.n_bigrams").cast("double") < 0.5)
+    CorpusRefine.stratifiedSample(base, "doc_id", "lang",
+      Map("en" -> 50, "de" -> 30), defaultRate = 10)
+      .select(col("doc_id"), col("lang"), col("_st.n_words").as("n_words"))
+  }
+
   /** Deterministic stratified sample: downweight overrepresented strata
     * (en 50%, de 30%, rest 10%) via the portable hash gate. */
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =

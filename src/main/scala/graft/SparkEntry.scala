@@ -61,6 +61,9 @@ object SparkEntry {
     "q_url_dedup" -> (Queries.qUrlDedup _),
     "q_repetition" -> (Queries.qRepetition _),
     "q_paragraph_dedup" -> (Queries.qParagraphDedup _),
+    "q_paragraph_apply" -> (Queries.qParagraphApply _),
+    "q_tfidf" -> (Queries.qTfidf _),
+    "q_corpus_assemble" -> (Queries.qCorpusAssemble _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
     "q_multimodal" -> (Queries.qMultimodal _),
     "q_multimodal_image" -> (Queries.qMultimodalImage _),

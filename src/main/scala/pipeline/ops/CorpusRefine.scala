@@ -189,6 +189,67 @@ object CorpusRefine {
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /**
+   * Paragraph-dedup APPLY: the rewritten corpus — each document keeps only
+   * the paragraphs surviving [[paragraphDedup]]'s first-occurrence rule,
+   * re-joined in original order. Unlike the stats form, the paragraph TEXT
+   * must ride the digest shuffle here (rewriting requires moving it);
+   * reassembly sorts (pos, para) structs inside the per-doc aggregate, so
+   * collect order never matters. Documents whose every paragraph dropped
+   * disappear (they contribute nothing to the cleaned corpus).
+   */
+  def paragraphDedupApply(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), posexplode(wordChunks(tokens(col(textCol)), k))
+        .as(Seq("pos", "para")))
+    val w = Window.partitionBy(md5(col("para").cast("binary")))
+      .orderBy(col(idCol), col("pos"))
+    exploded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), " ").as("clean_text"))
+  }
+
+  /**
+   * Rational TF-IDF top-k: per document, the k terms with the highest
+   * `tf · N / df` score (N = participating docs, df = docs containing the
+   * term). The log-free rational form is deliberate: IEEE multiply/divide
+   * of exact integers is bit-deterministic across engines, while libm
+   * `ln` is not guaranteed identical — and within a document the ranking
+   * power is comparable. Ties break by term ascending.
+   *
+   * Shape: one (id, term) tf aggregate, one term-keyed df aggregate
+   * (both map-side combined), a broadcast of the scalar N, a term-keyed
+   * join, and the per-doc top-k window — the standard inverted-index
+   * build, all shuffles on high-cardinality keys.
+   */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val pairs = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = pairs.groupBy("term")
+      .agg(count(lit(1)).as("df")) // pairs are distinct per (doc, term)
+    val n = pairs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    pairs.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
   // ---------- deterministic stratified sampling ----------
 
   /**

@@ -135,6 +135,40 @@ class CorpusRefineSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("paragraphDedupApply rewrites docs with only surviving chunks, in order") {
+    val s = sc
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"), // "a b c" drops (doc1 owns it); "x y z" survives
+      (3L, "d e f"), //        fully deduped → absent from the output
+      (4L, "x y z a b c")) // both chunks already seen → absent
+      .toDF("doc_id", "text")
+    val out = CorpusRefine.paragraphDedupApply(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b c d e f", 2L -> "x y z"))
+  }
+
+  test("tfidfTopK: rational score, deterministic ties, df counted once per doc") {
+    val s = sc
+    import s.implicits._
+    // "rare" appears only in doc 1 (df=1); "common" in all 3 (df=3).
+    val d = Seq(
+      (1L, "rare common common"),
+      (2L, "common beta beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val out = CorpusRefine.tfidfTopK(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: rare tf=1 df=1 → 3.0; common tf=2 df=3 → 2.0
+    assert(out((1L, 1L)) == (("rare", 1L, 1L, 3.0)))
+    assert(out((1L, 2L)) == (("common", 2L, 3L, 2.0)))
+    // doc 2: beta tf=2 df=1 → 6.0 beats common tf=1 df=3 → 1.0
+    assert(out((2L, 1L)) == (("beta", 2L, 1L, 6.0)))
+    // doc 3: gamma 3.0, common 1.0
+    assert(out((3L, 1L)) == (("gamma", 1L, 1L, 3.0)))
+  }
+
   test("stratifiedSample: deterministic, rate-bounded, stratum-respecting") {
     val s = sc
     import s.implicits._
