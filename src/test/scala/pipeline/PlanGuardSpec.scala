@@ -170,4 +170,48 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaCols).isEmpty && viaCols.exceptAll(viaSql).isEmpty)
     assert(math.abs(viaSql.head.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("paragraph dedup: only the digest rides the shuffle, never text") {
+    val s = sc
+    val dir = java.nio.file.Files.createTempDirectory("pg-para").toString
+    Webtext.df(s, 500, 4).select(
+      xxhash64(col("url")).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(dir)
+    val df = ops.CorpusRefine.paragraphDedup(
+      s.read.parquet(dir), "doc_id", "text", k = 3)
+    df.count()
+    val plan = finalPlan(df)
+    // the digest exchange exists...
+    assert("Exchange hashpartitioning\\(d#".r.findAllIn(plan).nonEmpty,
+      s"digest shuffle missing:\n$plan")
+    // ...and its input projection has already dropped the paragraph string:
+    // `para#N` may appear INSIDE md5(cast(para#N as binary)) but never as a
+    // standalone output column of the exchange's input
+    val exchangeInputs = "Exchange hashpartitioning\\(d#\\d+[^\\n]*\\n([^\\n]*)"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, plan)
+    exchangeInputs.foreach(in =>
+      assert(!"para#\\d+[,\\]]".r.findAllIn(in).hasNext,
+        s"paragraph text rides the shuffle: $in\n$plan"))
+  }
+
+  test("corpus narrow family is exchange-free as a fused plan") {
+    val s = sc
+    val dir = java.nio.file.Files.createTempDirectory("pg-narrow").toString
+    Webtext.df(s, 500, 4).select(
+      xxhash64(col("url")).as("doc_id"), col("url"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(dir)
+    val docs = s.read.parquet(dir)
+    // pii + url canon + repetition + sample composed: still ZERO exchanges
+    val fused = ops.CorpusRefine.stratifiedSample(
+      docs.select(col("doc_id"), col("lang"),
+        ops.CorpusRefine.redactPii(col("text")).as("red"),
+        ops.CorpusRefine.canonicalizeUrl(col("url")).as("u"),
+        pipeline.expr.PortableExprs.repetitionStats(col("text")).as("st")),
+      "doc_id", "lang", Map("en" -> 50), 10)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow family must not shuffle:\n$plan")
+    // and the plan is codegen'd (toString marks codegen stages with "*(n)")
+    assert(plan.contains("*("), plan)
+  }
 }
