@@ -688,6 +688,19 @@ object Oracle {
         |  AND ${h32("CAST(d.doc_id AS VARCHAR)")} % 100 <
         |    CASE WHEN d.lang = 'en' THEN 50 WHEN d.lang = 'de' THEN 30 ELSE 10 END""".stripMargin),
 
+    "q_pack_shards" ->
+      // one flat window cumsum here vs the distributed two-level prefix sum
+      // on the Spark side — same values by construction
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x != '')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM t)
+        |SELECT doc_id, n_tokens,
+        | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1000) AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${h32("CAST(doc_id AS VARCHAR)")} % 100 <

@@ -583,6 +583,15 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("_st.n_words").as("n_words"))
   }
 
+  /** Token-budget shard packing (distributed prefix sum — see
+    * CorpusRefine.packTokenShards): docs → ~1000-token training shards. */
+  def qPackShards(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    CorpusRefine.packTokenShards(toks, "doc_id", "n_tokens",
+      budget = 1000L, idWidth = 100L)
+  }
+
   /** Deterministic stratified sample: downweight overrepresented strata
     * (en 50%, de 30%, rest 10%) via the portable hash gate. */
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =

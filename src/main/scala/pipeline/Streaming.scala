@@ -180,4 +180,28 @@ object Streaming {
       .groupBy(window(col("warc_ts"), "1 hour"), col("sink"))
       .agg(count(lit(1)).as("n_rows"))
       .select(col("window.start").as("window_start"), col("sink"), col("n_rows"))
+
+  /**
+   * STREAMING sessionization (§2.5 stateful merging windows): the exact
+   * batch `q_sessionize` shape — `session_window` merges a key's events
+   * while each arrives within `gap` of the session so far — run as a
+   * streaming aggregate. The watermark closes sessions: append mode emits
+   * a session only once `watermark > session end + gap` can no longer
+   * extend it, so every emitted row is final (no retraction needed —
+   * Spark's state store merges windows as rows arrive out of order within
+   * the watermark delay). Rows without an event time cannot sessionize and
+   * stay on the deadletter/accounting path.
+   */
+  def sessionCounts(parsedStream: DataFrame, keyCol: String = "host",
+                    gap: String = "30 minutes",
+                    delay: String = "0 seconds"): DataFrame =
+    parsedStream
+      .filter(col("warc_ts").isNotNull)
+      .withWatermark("warc_ts", delay)
+      .groupBy(col(keyCol), session_window(col("warc_ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

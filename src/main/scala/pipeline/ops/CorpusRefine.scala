@@ -250,6 +250,45 @@ object CorpusRefine {
         col("score"), col("rnk"))
   }
 
+  /**
+   * Token-budget shard packing: assign documents (in id order) to training
+   * shards of ≈`budget` tokens each — greedy sequential packing, the step
+   * that turns a cleaned corpus into fixed-size training files.
+   *
+   * A naive `sum over (order by id)` is an UNPARTITIONED window — one task
+   * for the whole corpus. This is the classic distributed prefix sum
+   * instead: (1) bucket rows by id range, (2) per-bucket local cumsum
+   * (partitioned window), (3) per-bucket totals → tiny cumulative-offset
+   * frame (#buckets rows, broadcast join), (4) global cumsum = offset +
+   * local. Every stage is bucket-parallel; the only full pass over the
+   * data is the one local window.
+   *
+   * `idWidth` controls bucketing (bucket = id / idWidth) — ids need not be
+   * dense, only monotone in the desired pack order.
+   */
+  def packTokenShards(df: DataFrame, idCol: String, tokenCol: String,
+                      budget: Long, idWidth: Long = 1000L): DataFrame = {
+    require(budget > 0 && idWidth > 0, s"bad budget=$budget idWidth=$idWidth")
+    val bucketed = df.withColumn("_b", floor(col(idCol) / idWidth).cast("long"))
+    val localW = Window.partitionBy(col("_b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed
+      .withColumn("_cum_local", sum(col(tokenCol)).over(localW))
+    // cumulative total of all PRIOR buckets: tiny frame (#buckets rows),
+    // its own unpartitioned window is over bucket ids, not documents
+    val offW = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = bucketed.groupBy(col("_b"))
+      .agg(sum(col(tokenCol)).as("_btot"))
+      .withColumn("_off", coalesce(sum(col("_btot")).over(offW), lit(0L)))
+      .select(col("_b"), col("_off"))
+    local.join(broadcast(offsets), "_b")
+      .withColumn("_cum_excl",
+        col("_off") + col("_cum_local") - col(tokenCol))
+      .select(col(idCol), col(tokenCol),
+        floor(col("_cum_excl").cast("double") / budget).cast("long").as("shard"))
+  }
+
   // ---------- deterministic stratified sampling ----------
 
   /**

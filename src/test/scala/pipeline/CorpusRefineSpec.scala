@@ -169,6 +169,35 @@ class CorpusRefineSpec extends AnyFunSuite {
     assert(out((3L, 1L)) == (("gamma", 1L, 1L, 3.0)))
   }
 
+  test("packTokenShards: greedy sequential packing via distributed prefix sum") {
+    val s = sc
+    import s.implicits._
+    val d = (0L until 1000L).map(i => (i, (i % 7) + 1)).toDF("doc_id", "n_tokens")
+      .repartition(8)
+    val out = CorpusRefine.packTokenShards(d, "doc_id", "n_tokens",
+      budget = 50L, idWidth = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // shard assignment equals the single-threaded greedy reference
+    var cum = 0L
+    out.foreach { case (_, n, shard) =>
+      assert(shard == cum / 50L, s"row $out")
+      cum += n
+    }
+    // shards are contiguous in id order and start at 0
+    assert(out.head._3 == 0L)
+    assert(out.map(_._3).distinct.sorted.toSeq ==
+      (0L to out.last._3).toSeq)
+    // the data-sized window is PARTITIONED (bucket column); the only
+    // unpartitioned window runs over the tiny per-bucket offsets frame
+    val plan = CorpusRefine.packTokenShards(d, "doc_id", "n_tokens", 50L, 100L)
+      .queryExecution.optimizedPlan.toString
+    val windows = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+    assert(windows.exists(_.startsWith("_b")),
+      s"local cumsum must partition by bucket:\n$plan")
+  }
+
   test("stratifiedSample: deterministic, rate-bounded, stratum-respecting") {
     val s = sc
     import s.implicits._

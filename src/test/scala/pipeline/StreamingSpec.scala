@@ -252,6 +252,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.sorted.toSeq == all.columns.sorted.toSeq)
   }
 
+  test("streaming sessionization == batch session_window (closed sessions)") {
+    val s = sc
+    import s.implicits._
+    val landing = Files.createTempDirectory("graft-sess-landing").toString
+    Webtext.dataset(s, 500, 1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    // two far-future sentinels drive the watermark past every session end
+    // (the watermark lags one micro-batch)
+    for (off <- Seq(365L, 730L)) {
+      Webtext.dataset(s, 1, 1)
+        .map(d => d.copy(url = d.url + s"?s$off",
+          warc_ts = new java.sql.Timestamp(d.warc_ts.getTime + off * 86400000L)))
+        .write.mode("append").parquet(landing)
+      Thread.sleep(1100)
+    }
+    val stream = s.readStream.schema(pipeline.model.Schemas.webtext)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = Streaming.sessionCounts(Pipeline.transform(stream)).writeStream
+      .format("memory").queryName("sessions").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("gsc").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // batch ground truth over the same files, same expression
+    val batch = Pipeline.transform(s.read.parquet(landing))
+      .filter(col("warc_ts").isNotNull)
+      .groupBy(col("host"), session_window(col("warc_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("host"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+    val maxTs = batch.agg(max(col("session_end"))).head().getTimestamp(0)
+    // every session the watermark could close must have been emitted,
+    // with identical (key, bounds, count); only the sentinels' own
+    // (still-open) sessions may be absent
+    val closed = batch.filter(col("session_end") < lit(maxTs))
+    val streamed = s.sql("SELECT * FROM sessions")
+    assert(closed.count() > 10)
+    assert(streamed.exceptAll(closed).isEmpty &&
+      closed.exceptAll(streamed).isEmpty,
+      "streaming sessions must equal batch closed sessions")
+  }
+
   test("event-time window counts with watermark") {
     val s = sc
     val landing = Files.createTempDirectory("graft-landing3").toString
