@@ -42,6 +42,10 @@ object Functions {
       es => ParseEventExpr(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_grok",
       es => GrokExtractExpr(es.head, strLit(es(1), "pattern")), "built-in")
+    reg.createOrReplaceTempFunction("graft_repetition",
+      es => RepetitionStatsExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_image_dims",
+      es => ImageDimsExpr(es.head), "built-in")
   }
 
   private def strLit(e: org.apache.spark.sql.catalyst.expressions.Expression,

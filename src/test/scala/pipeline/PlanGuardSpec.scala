@@ -158,7 +158,8 @@ class PlanGuardSpec extends AnyFunSuite {
     val viaSql = s.sql(
       """SELECT graft_simhash(text) AS sh, graft_fingerprint(text) AS fp,
         |       graft_cosine(array(1.0F, 2.0F), array(2.0F, 4.0F)) AS cos,
-        |       graft_parse_event(url, text).status AS st
+        |       graft_parse_event(url, text).status AS st,
+        |       graft_repetition(text).top_bigram_n AS rep
         |FROM wt""".stripMargin)
     val viaCols = s.read.parquet(dir).select(
       pipeline.expr.PortableExprs.simhash(col("text"), 16).as("sh"),
@@ -166,7 +167,9 @@ class PlanGuardSpec extends AnyFunSuite {
       pipeline.expr.PortableExprs.cosine(
         array(lit(1.0f), lit(2.0f)), array(lit(2.0f), lit(4.0f))).as("cos"),
       pipeline.expr.PortableExprs.parseEvent(col("url"), col("text"))
-        .getField("status").as("st"))
+        .getField("status").as("st"),
+      pipeline.expr.PortableExprs.repetitionStats(col("text"))
+        .getField("top_bigram_n").as("rep"))
     assert(viaSql.exceptAll(viaCols).isEmpty && viaCols.exceptAll(viaSql).isEmpty)
     assert(math.abs(viaSql.head.getDouble(2) - 1.0) < 1e-12)
   }
