@@ -589,7 +589,7 @@ object Queries {
     val toks = t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     CorpusRefine.packTokenShards(toks, "doc_id", "n_tokens",
-      budget = 1000L, idWidth = 100L)
+      budget = 1000L, buckets = 8)
   }
 
   /** Deterministic stratified sample: downweight overrepresented strata

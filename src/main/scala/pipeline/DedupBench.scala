@@ -15,10 +15,11 @@ object DedupBench {
     val input = conf.getOrElse("--input", s"/tmp/graft-dedup-$n")
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(input).exists()) {
-      Webtext.df(spark, n, 64).select(
-        xxhash64(col("url")).as("id"), col("text"))
-        .write.mode("overwrite").parquet(input)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","rows":$n,"sec":${sec}%.2f,"docs_per_sec":${(n / sec).toLong},"result_rows":$r}""")
     }
     // --mode recall: measured MinHash-LSH recall against EXACT n-gram
     // Jaccard ground truth (J >= 0.5) on a bounded subset, across
@@ -63,15 +64,6 @@ object DedupBench {
       return
     }
 
-    val docs = spark.read.parquet(input)
-    docs.limit(1000).count() // warm
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name","rows":$n,"sec":${sec}%.2f,"docs_per_sec":${(n / sec).toLong},"result_rows":$r}""")
-    }
-
     // --mode corpus: the corpus-refinement family at scale (url column kept)
     if (conf.get("--mode").contains("corpus")) {
       import pipeline.ops.CorpusRefine
@@ -100,6 +92,14 @@ object DedupBench {
       spark.stop()
       return
     }
+
+    if (!new java.io.File(input).exists()) {
+      Webtext.df(spark, n, 64).select(
+        xxhash64(col("url")).as("id"), col("text"))
+        .write.mode("overwrite").parquet(input)
+    }
+    val docs = spark.read.parquet(input)
+    docs.limit(1000).count() // warm
     time("dedup_exact")(Dedup.exact(docs, "id", "text").filter(col("n_copies") > 1).count())
     time("dedup_exact_apply")(Dedup.dropExactDuplicates(docs, "id", "text").count())
     // the word-soup fixture's shingle entropy is unrealistically low, so

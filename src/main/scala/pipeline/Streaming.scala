@@ -189,12 +189,16 @@ object Streaming {
    * a session only once `watermark > session end + gap` can no longer
    * extend it, so every emitted row is final (no retraction needed —
    * Spark's state store merges windows as rows arrive out of order within
-   * the watermark delay). Rows without an event time cannot sessionize and
-   * stay on the deadletter/accounting path.
+   * the watermark delay). The default `delay` of 1 hour tolerates
+   * cross-micro-batch disorder (a 0-second watermark silently drops any
+   * event at or before the max timestamp already seen — only use it when
+   * the source is strictly ordered). Rows without an event time cannot
+   * sessionize and are excluded here; their counting stays on the main
+   * pipeline's deadletter accounting.
    */
   def sessionCounts(parsedStream: DataFrame, keyCol: String = "host",
                     gap: String = "30 minutes",
-                    delay: String = "0 seconds"): DataFrame =
+                    delay: String = "1 hour"): DataFrame =
     parsedStream
       .filter(col("warc_ts").isNotNull)
       .withWatermark("warc_ts", delay)

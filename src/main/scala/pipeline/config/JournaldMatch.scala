@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions.{col, lit, try_element_at}
  *
  * journalctl matches are separate argv words, so a value with spaces is
  * expressible there via shell quoting; in this single-string config
- * surface, double quotes around the VALUE carry spaces (`F="a b"`).
+ * surface, a double quote IMMEDIATELY AFTER `=` opens a quoted value that
+ * carries spaces and `+` (`F="a b"`); inside it `""` is a literal quote.
+ * A quote anywhere else is an ordinary character (`F=va"lue` matches the
+ * byte string `va"lue`), so journald's arbitrary-byte field values stay
+ * expressible.
  *
  * All comparisons are string equality on the raw field value — journald
  * fields are untyped byte strings, so there is no numeric coercion (the
@@ -49,7 +53,7 @@ object JournaldMatch {
       if (x == sep) acc :+ Vector.empty else acc.init :+ (acc.last :+ x)
     }
 
-  /** One FIELD=VALUE term; a double-quoted VALUE carries whitespace. */
+  /** One FIELD=VALUE term (the tokenizer already resolved quoting). */
   private def term(t: String): (String, String) = {
     val i = t.indexOf('=')
     require(i > 0,
@@ -57,27 +61,31 @@ object JournaldMatch {
     val field = t.substring(0, i)
     require(field.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"bad journald field name '$field'")
-    val v = t.substring(i + 1)
-    val unquoted =
-      if (v.length >= 2 && v.head == '"' && v.last == '"')
-        v.substring(1, v.length - 1)
-      else v
-    (field, unquoted)
+    (field, t.substring(i + 1))
   }
 
-  /** Whitespace tokenizer that keeps double-quoted runs intact. */
+  /** Whitespace tokenizer. A `"` RIGHT AFTER `=` opens a quoted value
+    * (whitespace and `+` become ordinary characters; `""` inside is a
+    * literal quote); a `"` anywhere else is an ordinary character, so
+    * values that merely CONTAIN quotes keep their literal meaning. */
   private def tokenize(g: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new java.lang.StringBuilder
     var inQuote = false
-    g.foreach {
-      case c if c.isWhitespace && !inQuote =>
+    var i = 0
+    while (i < g.length) {
+      val c = g.charAt(i)
+      if (inQuote) {
+        if (c == '"') {
+          if (i + 1 < g.length && g.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQuote = false
+        } else cur.append(c)
+      } else if (c == '"' && cur.length > 0 && cur.charAt(cur.length - 1) == '=') {
+        inQuote = true
+      } else if (c.isWhitespace) {
         if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
-      case '"' =>
-        inQuote = !inQuote
-        cur.append('"')
-      case c =>
-        cur.append(c)
+      } else cur.append(c)
+      i += 1
     }
     require(!inQuote, s"unterminated quote in journald match [$g]")
     if (cur.length > 0) out += cur.toString

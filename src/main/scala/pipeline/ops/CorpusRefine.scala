@@ -85,17 +85,12 @@ object CorpusRefine {
   /**
    * Within-document repetition features: distinct-word ratio and the
    * fraction of all word bigrams taken by the most frequent bigram (the
-   * Gopher "top n-gram fraction" filter). FULLY NARROW: a per-document
-   * feature must not shuffle, so the top-bigram count is a sort + max
-   * run-length scan inside one codegen span (any total order groups equal
-   * bigrams contiguously, so comparator details are parity-irrelevant) —
-   * zero exchanges at any corpus size, vs the naive explode + two-level
-   * groupBy. Documents with < 2 words have no bigrams and are dropped.
+   * Gopher "top n-gram fraction" filter). FULLY NARROW — a per-document
+   * feature must not shuffle: ONE tight pass per row via the native
+   * [[pipeline.expr.RepetitionStatsExpr]] (HOFs run interpreted; measured
+   * 67s → 2.3s at 1M docs). Documents with < 2 words have no bigrams and
+   * drop, matching [[repetitionFeaturesHof]] and the oracle's `len(w) >= 2`.
    */
-  /** Production form: ONE tight pass per row via the native
-    * [[pipeline.expr.RepetitionStatsExpr]] (HOFs run interpreted; measured
-    * 67s → ~2s at 1M docs). Null stats (fewer than 2 words) drop, matching
-    * [[repetitionFeaturesHof]] and the oracle's `len(w) >= 2`. */
   def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val st = pipeline.expr.PortableExprs.repetitionStats(col(textCol))
     df.select(col(idCol), st.as("_st"))
@@ -110,7 +105,10 @@ object CorpusRefine {
   }
 
   /** HOF twin of [[repetitionFeatures]] — kept for the cross-engine parity
-    * spec (the oracle mirrors THIS formulation symbol-for-symbol). */
+    * spec (the oracle mirrors THIS formulation symbol-for-symbol): the
+    * top-bigram count as array_sort + max run-length fold (any total order
+    * groups equal bigrams contiguously, so comparator details are
+    * parity-irrelevant), zero exchanges. */
   def repetitionFeaturesHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // STAGED projections: each expensive array (words, sorted bigrams) is
     // aliased once and referenced from the next select — HOFs run
@@ -259,17 +257,34 @@ object CorpusRefine {
    * for the whole corpus. This is the classic distributed prefix sum
    * instead: (1) bucket rows by id range, (2) per-bucket local cumsum
    * (partitioned window), (3) per-bucket totals → tiny cumulative-offset
-   * frame (#buckets rows, broadcast join), (4) global cumsum = offset +
+   * frame (≤ `buckets` rows, broadcast join), (4) global cumsum = offset +
    * local. Every stage is bucket-parallel; the only full pass over the
    * data is the one local window.
    *
-   * `idWidth` controls bucketing (bucket = id / idWidth) — ids need not be
-   * dense, only monotone in the desired pack order.
+   * Bucket width derives from the OBSERVED id span (one 1-row driver agg,
+   * the broadcast-centroid pattern), so the offsets frame stays ≤ `buckets`
+   * rows however sparse the ids are. Ids must be integral with a span
+   * < 2^62 — full-range hash ids are rejected (their "order" is arbitrary;
+   * re-key before packing). Bucketing uses integer `div`, never double
+   * division (precision breaks past 2^53).
    */
   def packTokenShards(df: DataFrame, idCol: String, tokenCol: String,
-                      budget: Long, idWidth: Long = 1000L): DataFrame = {
-    require(budget > 0 && idWidth > 0, s"bad budget=$budget idWidth=$idWidth")
-    val bucketed = df.withColumn("_b", floor(col(idCol) / idWidth).cast("long"))
+                      budget: Long, buckets: Int = 256): DataFrame = {
+    require(budget > 0 && buckets > 0, s"bad budget=$budget buckets=$buckets")
+    val mm = df.agg(min(col(idCol)).cast("long").as("lo"),
+      max(col(idCol)).cast("long").as("hi")).head()
+    if (mm.isNullAt(0)) // empty input: shape-stable empty result
+      return df.select(col(idCol), col(tokenCol), lit(0L).as("shard")).limit(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = BigInt(hi) - BigInt(lo) + 1
+    require(span <= (BigInt(1) << 62),
+      s"id span $span too large for range bucketing — ids look like " +
+        "full-range hashes, whose order is arbitrary; re-key before packing")
+    val width = ((span + buckets - 1) / buckets).toLong.max(1L)
+    val bucketed = df
+      .withColumn("_d", col(idCol).cast("long") - lit(lo))
+      .withColumn("_b", expr(s"_d div ${width}L"))
+      .drop("_d")
     val localW = Window.partitionBy(col("_b")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = bucketed

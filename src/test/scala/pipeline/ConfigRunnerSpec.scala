@@ -172,6 +172,14 @@ class ConfigRunnerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       pipeline.config.JournaldMatch.compile("""MESSAGE="unterminated""")
     }
+    // a quote NOT at value start is an ordinary character (journald values
+    // are arbitrary byte strings); "" inside a quoted value is a literal "
+    val m2 = s.range(1).select(map_from_arrays(
+      array(l("A"), l("B")), array(l("va\"lue"), l("say \"hi\""))).as("entries"))
+    assert(m2.filter(pipeline.config.JournaldMatch.compile(
+      """A=va"lue""")).count() == 1)
+    assert(m2.filter(pipeline.config.JournaldMatch.compile(
+      "B=\"say \"\"hi\"\"\"")).count() == 1)
   }
 
   test("conflicting grok schemas across sources fail with a config-shaped error") {

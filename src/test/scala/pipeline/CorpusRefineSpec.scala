@@ -175,7 +175,7 @@ class CorpusRefineSpec extends AnyFunSuite {
     val d = (0L until 1000L).map(i => (i, (i % 7) + 1)).toDF("doc_id", "n_tokens")
       .repartition(8)
     val out = CorpusRefine.packTokenShards(d, "doc_id", "n_tokens",
-      budget = 50L, idWidth = 100L)
+      budget = 50L, buckets = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     // shard assignment equals the single-threaded greedy reference
@@ -190,7 +190,7 @@ class CorpusRefineSpec extends AnyFunSuite {
       (0L to out.last._3).toSeq)
     // the data-sized window is PARTITIONED (bucket column); the only
     // unpartitioned window runs over the tiny per-bucket offsets frame
-    val plan = CorpusRefine.packTokenShards(d, "doc_id", "n_tokens", 50L, 100L)
+    val plan = CorpusRefine.packTokenShards(d, "doc_id", "n_tokens", 50L, 10)
       .queryExecution.optimizedPlan.toString
     val windows = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(plan)
       .map(_.group(1)).toSeq
