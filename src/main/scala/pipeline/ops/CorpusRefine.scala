@@ -220,10 +220,15 @@ object CorpusRefine {
    * `ln` is not guaranteed identical — and within a document the ranking
    * power is comparable. Ties break by term ascending.
    *
-   * Shape: one (id, term) tf aggregate, one term-keyed df aggregate
-   * (both map-side combined), a broadcast of the scalar N, a term-keyed
-   * join, and the per-doc top-k window — the standard inverted-index
-   * build, all shuffles on high-cardinality keys.
+   * Shape: a LINEAR chain so the corpus tokenization runs exactly once —
+   * (1) (id, term) tf aggregate (map-side combined; the only pass over
+   * the exploded corpus), (2) df attached via a term-partitioned window
+   * (no separate aggregate + join, whose pruned re-reads would tokenize
+   * the corpus three times — Catalyst column pruning defeats subplan
+   * reuse across differently-pruned consumers), (3) the scalar N from a
+   * cheap NARROW corpus count (no explode, no shuffle), (4) the per-doc
+   * top-k window. Three exchanges total, all over the small aggregated
+   * pair frame, on high-cardinality keys.
    */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
@@ -232,14 +237,16 @@ object CorpusRefine {
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = pairs.groupBy("term")
-      .agg(count(lit(1)).as("df")) // pairs are distinct per (doc, term)
-    val n = pairs.select(col(idCol)).distinct()
-      .agg(count(lit(1)).as("n_docs"))
+    val withDf = pairs.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    // participating docs = docs with ≥1 nonempty token — identical to
+    // "distinct ids in pairs" but computable as a narrow scalar scan
+    val n = df.agg(count(when(
+      size(filter(tokens(col(textCol)), t => t =!= "")) > 0, true))
+      .as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    pairs.join(docFreq, "term")
-      .crossJoin(broadcast(n))
+    withDf.crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -167,6 +167,15 @@ class CorpusRefineSpec extends AnyFunSuite {
     assert(out((2L, 1L)) == (("beta", 2L, 1L, 6.0)))
     // doc 3: gamma 3.0, common 1.0
     assert(out((3L, 1L)) == (("gamma", 1L, 1L, 3.0)))
+    // plan guard: the corpus is tokenized EXACTLY once (linear chain; a
+    // df-aggregate + join formulation re-explodes it three times because
+    // column pruning defeats subplan reuse)
+    val q = CorpusRefine.tfidfTopK(d.repartition(2), "doc_id", "text", 2)
+    q.count()
+    val p = q.queryExecution.executedPlan.toString
+    val fp = { val c = p.indexOf("== Initial Plan =="); if (c < 0) p else p.substring(0, c) }
+    assert("Generate explode".r.findAllIn(fp).size == 1, fp)
+    assert("Exchange hashpartitioning".r.findAllIn(fp).size <= 3, fp)
   }
 
   test("packTokenShards: greedy sequential packing via distributed prefix sum") {
