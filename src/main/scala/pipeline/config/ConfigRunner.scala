@@ -102,7 +102,11 @@ object ConfigRunner {
         throw new IllegalArgumentException(s"no input bound for source '${s.id}'"))
       fromSource(s, raw)
     }
-    Pipeline.transform(Sources.fanIn(srcs), observed = false, rules = rules(spec))
+    // ordered corpus transforms (our extension) run on the fanned-in doc
+    // frame BEFORE parse/route — compiled eagerly so a bad config fails
+    // here, not mid-job on an executor
+    val transformed = TransformCompiler(spec)(Sources.fanIn(srcs))
+    Pipeline.transform(transformed, observed = false, rules = rules(spec))
   }
 
   /**

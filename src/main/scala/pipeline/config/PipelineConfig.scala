@@ -51,10 +51,18 @@ final case class SinkSpec(
   * to a Catalyst Column by pipeline.stages.Route. Empty = always. */
 final case class RuleSpec(when: String, sinks: Seq[String])
 
+/** An ordered corpus-transform stage (our extension — the reference has no
+  * processor pipeline between source and destination; these expose the
+  * pipeline.ops corpus operators on the config surface). `kind` selects
+  * the operator; `options` are its string-typed settings (env-expanded).
+  * Compiled by [[TransformCompiler]]. */
+final case class TransformSpec(kind: String, options: Map[String, String] = Map.empty)
+
 final case class PipelineSpec(
     sources: Seq[SourceSpec],
     sinks: Seq[SinkSpec],
-    rules: Seq[RuleSpec])
+    rules: Seq[RuleSpec],
+    transforms: Seq[TransformSpec] = Nil)
 
 object PipelineConfig {
 
@@ -135,7 +143,17 @@ object PipelineConfig {
           .getOrElse(Nil))
     }.toSeq).getOrElse(Nil)
 
-    PipelineSpec(sources, sinks, rules)
+    val transforms = Option(root.get("transforms"))
+      .map(_.elements().asScala.map { n =>
+        val kind = str(n, "type").getOrElse(throw new IllegalArgumentException(
+          "each transforms entry needs a 'type'"))
+        val opts = n.properties().asScala
+          .filterNot(_.getKey == "type")
+          .map(e => e.getKey -> expandEnv(e.getValue.asText(), env)).toMap
+        TransformSpec(kind, opts)
+      }.toSeq).getOrElse(Nil)
+
+    PipelineSpec(sources, sinks, rules, transforms)
   }
 
   def load(path: String, env: Map[String, String] = sys.env): PipelineSpec =
@@ -181,6 +199,14 @@ object PipelineConfig {
         n.put("when", r.when)
         val sk = n.putArray("sinks")
         r.sinks.foreach(sk.add)
+      }
+    }
+    if (spec.transforms.nonEmpty) {
+      val arr = root.putArray("transforms")
+      spec.transforms.foreach { t =>
+        val n = arr.addObject()
+        n.put("type", t.kind)
+        t.options.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
       }
     }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(root)

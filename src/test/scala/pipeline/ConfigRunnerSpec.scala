@@ -182,6 +182,39 @@ class ConfigRunnerSpec extends AnyFunSuite {
       "B=\"say \"\"hi\"\"\"")).count() == 1)
   }
 
+  test("config transforms clean the corpus before routing (ordered, end-to-end)") {
+    val s = sc
+    val spec = pipeline.config.PipelineSpec(
+      sources = Seq(pipeline.config.SourceSpec("in", "file")),
+      sinks = Seq(pipeline.config.SinkSpec("s3", "s3")),
+      rules = Nil,
+      transforms = Seq(
+        pipeline.config.TransformSpec("pii_redact"),
+        pipeline.config.TransformSpec("lang_allowlist", Map("langs" -> "en,de")),
+        pipeline.config.TransformSpec("stratified_sample",
+          Map("rates" -> "en:50", "default" -> "100")),
+        pipeline.config.TransformSpec("truncate", Map("maxChars" -> "64"))))
+    val inputs = Map("in" -> ConfigRunner.fixtureInput(s, spec.sources.head, 400, 2))
+    val routed = ConfigRunner.routed(spec, inputs)
+
+    // baseline: same config without transforms
+    val base = ConfigRunner.routed(spec.copy(transforms = Nil), inputs)
+    val baseN = base.count()
+    val gotN = routed.count()
+    assert(gotN > 0 && gotN < baseN, s"transforms must filter: $gotN vs $baseN")
+    // lang allowlist holds on the routed output
+    assert(routed.filter(!col("lang").isin("en", "de")).count() == 0)
+    // en rows are hash-sampled at 50%: strictly fewer than the allowlisted base
+    val baseEn = base.filter(col("lang") === "en").count()
+    val gotEn = routed.filter(col("lang") === "en").count()
+    assert(gotEn > 0 && gotEn < baseEn)
+    // de rows pass at default=100%
+    assert(routed.filter(col("lang") === "de").count() ==
+      base.filter(col("lang") === "de").count())
+    // truncate capped the payload before parse
+    assert(routed.agg(max(length(col("extracted_text")))).head().getInt(0) <= 64)
+  }
+
   test("conflicting grok schemas across sources fail with a config-shaped error") {
     val s = sc
     val spec = pipeline.config.PipelineSpec(

@@ -84,6 +84,41 @@ class ConfigSpec extends AnyFunSuite {
     assert(canon(PipelineConfig.parse(PipelineConfig.render(spec))) == canon(spec))
   }
 
+  test("transforms block: parse, env expansion, order, round-trip, errors") {
+    val cfg =
+      """{
+        |  "sources": {"in": {"type": "file"}},
+        |  "destinations": {"s3": {"type": "s3"}},
+        |  "transforms": [
+        |    {"type": "pii_redact"},
+        |    {"type": "lang_allowlist", "langs": "$LANGS"},
+        |    {"type": "stratified_sample", "rates": "en:50,de:30", "default": "10"},
+        |  ],
+        |}""".stripMargin
+    val spec = PipelineConfig.parse(cfg, Map("LANGS" -> "en,de"))
+    assert(spec.transforms.map(_.kind) ==
+      Seq("pii_redact", "lang_allowlist", "stratified_sample"))
+    assert(spec.transforms(1).options("langs") == "en,de")
+    val back = PipelineConfig.parse(PipelineConfig.render(spec))
+    assert(back.transforms == spec.transforms) // order significant
+    // compile-time (not executor-time) failures for bad configs
+    val e1 = intercept[IllegalArgumentException] {
+      pipeline.config.TransformCompiler.one(
+        pipeline.config.TransformSpec("no_such_kind"))
+    }
+    assert(e1.getMessage.contains("unknown transform kind"))
+    val e2 = intercept[IllegalArgumentException] {
+      pipeline.config.TransformCompiler.one(
+        pipeline.config.TransformSpec("repetition_filter",
+          Map("maxTopBigramFraction" -> "not-a-number")))
+    }
+    assert(e2.getMessage.contains("maxTopBigramFraction"))
+    intercept[IllegalArgumentException] {
+      pipeline.config.TransformCompiler.one(
+        pipeline.config.TransformSpec("lang_allowlist"))
+    }
+  }
+
   test("rule compiler: operators and conjunction") {
     val s = spark
     import s.implicits._
