@@ -698,7 +698,7 @@ object Oracle {
         |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         | FROM t)
         |SELECT doc_id, n_tokens,
-        | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1000) AS BIGINT) AS shard
+        | CAST((cum - n_tokens) // 1000 AS BIGINT) AS shard
         |FROM c""".stripMargin,
 
     "q_sample_stratified" ->

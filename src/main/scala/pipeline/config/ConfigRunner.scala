@@ -104,8 +104,16 @@ object ConfigRunner {
     }
     // ordered corpus transforms (our extension) run on the fanned-in doc
     // frame BEFORE parse/route — compiled eagerly so a bad config fails
-    // here, not mid-job on an executor
-    val transformed = TransformCompiler(spec)(Sources.fanIn(srcs))
+    // here, not mid-job on an executor. Undecodable rows (null text — the
+    // deadletter path) BYPASS the transforms: a lang allowlist or sample
+    // gate evaluating null must not silently delete a corrupt row the
+    // route stage guarantees to divert and count ("a row matching NO rule
+    // must never vanish", stages.Route).
+    val fanned = Sources.fanIn(srcs)
+    val transformed =
+      if (spec.transforms.isEmpty) fanned
+      else TransformCompiler(spec)(fanned.filter(col("text").isNotNull))
+        .unionByName(fanned.filter(col("text").isNull))
     Pipeline.transform(transformed, observed = false, rules = rules(spec))
   }
 

@@ -80,7 +80,12 @@ object JournaldMatch {
           if (i + 1 < g.length && g.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
           else inQuote = false
         } else cur.append(c)
-      } else if (c == '"' && cur.length > 0 && cur.charAt(cur.length - 1) == '=') {
+      } else if (c == '"' && cur.length > 0 &&
+        cur.charAt(cur.length - 1) == '=' &&
+        cur.indexOf("=") == cur.length - 1) {
+        // VALUE START only: the '=' just consumed is the token's FIRST '='
+        // (field=value boundary) — an '=' inside the value keeps a
+        // following quote literal (MESSAGE=--opt="a b" stays byte-literal)
         inQuote = true
       } else if (c.isWhitespace) {
         if (cur.length > 0) { out += cur.toString; cur.setLength(0) }

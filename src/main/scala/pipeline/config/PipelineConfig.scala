@@ -149,7 +149,15 @@ object PipelineConfig {
           "each transforms entry needs a 'type'"))
         val opts = n.properties().asScala
           .filterNot(_.getKey == "type")
-          .map(e => e.getKey -> expandEnv(e.getValue.asText(), env)).toMap
+          .map { e =>
+            // Jackson's asText() silently renders arrays/objects as "" —
+            // reject them config-shaped (same reason as the int() helper)
+            if (e.getValue.isContainerNode)
+              throw new IllegalArgumentException(
+                s"transform '$kind' option '${e.getKey}' must be a scalar " +
+                  "string (write lists as comma-separated values)")
+            e.getKey -> expandEnv(e.getValue.asText(), env)
+          }.toMap
         TransformSpec(kind, opts)
       }.toSeq).getOrElse(Nil)
 

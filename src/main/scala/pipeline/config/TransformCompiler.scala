@@ -3,7 +3,7 @@ package pipeline.config
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import pipeline.ops.{CorpusRefine, Dedup}
+import pipeline.ops.CorpusRefine
 
 /**
  * Compiles config `transforms` entries ([[TransformSpec]]) to DataFrame
@@ -48,7 +48,18 @@ object TransformCompiler {
         df => df.withColumn(c, CorpusRefine.redactPii(col(c)))
 
       case "dedup_exact" =>
-        df => Dedup.dropExactDuplicates(df, "url", "text")
+        // digest-keyed, NOT url-keyed: fan-in rows have no unique id (the
+        // same url arrives from several sources — exactly the overlap this
+        // transform exists to collapse), so keep ONE arbitrary row per
+        // text digest; null-text rows pass through uncollapsed (they
+        // belong to the deadletter path, and a shared null digest must not
+        // conflate distinct corrupt rows)
+        df => {
+          val withD = df.withColumn("_digest", md5(col("text").cast("binary")))
+          withD.filter(col("_digest").isNotNull).dropDuplicates("_digest")
+            .unionByName(withD.filter(col("_digest").isNull))
+            .drop("_digest")
+        }
 
       case "lang_allowlist" =>
         val langs = opt("langs").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -82,7 +93,13 @@ object TransformCompiler {
         val default = intOpt("default").getOrElse(
           if (rates.isEmpty) err("needs 'rates' and/or 'default'") else 100)
         val strata = opt("strata").getOrElse("lang")
-        df => CorpusRefine.stratifiedSample(df, "url", strata, rates, default)
+        // keyed by url COALESCED to '' — sampling is consistent per
+        // document key (all copies of a url share one verdict, which keeps
+        // sampling stable under redelivery), and a null url hashes like
+        // any other key instead of being unconditionally dropped
+        df => CorpusRefine.stratifiedSample(
+          df.withColumn("_sk", coalesce(col("url"), lit(""))),
+          "_sk", strata, rates, default).drop("_sk")
 
       case "truncate" =>
         val maxChars = intOpt("maxChars").getOrElse(err("needs 'maxChars'"))

@@ -220,15 +220,15 @@ object CorpusRefine {
    * `ln` is not guaranteed identical — and within a document the ranking
    * power is comparable. Ties break by term ascending.
    *
-   * Shape: a LINEAR chain so the corpus tokenization runs exactly once —
-   * (1) (id, term) tf aggregate (map-side combined; the only pass over
-   * the exploded corpus), (2) df attached via a term-partitioned window
-   * (no separate aggregate + join, whose pruned re-reads would tokenize
-   * the corpus three times — Catalyst column pruning defeats subplan
-   * reuse across differently-pruned consumers), (3) the scalar N from a
-   * cheap NARROW corpus count (no explode, no shuffle), (4) the per-doc
-   * top-k window. Three exchanges total, all over the small aggregated
-   * pair frame, on high-cardinality keys.
+   * Shape: a LINEAR chain so the EXPLODED corpus pass runs exactly once —
+   * (1) (id, term) tf aggregate (map-side combined; the only explode),
+   * (2) df attached via a term-partitioned window (no separate aggregate
+   * + join, whose pruned re-reads would explode the corpus three times —
+   * Catalyst column pruning defeats subplan reuse across
+   * differently-pruned consumers), (3) the scalar N from a second NARROW
+   * pass (tokenize + distinct-count only — no explode, no data-sized
+   * shuffle), (4) the per-doc top-k window. Three exchanges total, all
+   * over the small aggregated pair frame, on high-cardinality keys.
    */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
@@ -239,10 +239,12 @@ object CorpusRefine {
       .agg(count(lit(1)).as("tf"))
     val withDf = pairs.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("term"))))
-    // participating docs = docs with ≥1 nonempty token — identical to
-    // "distinct ids in pairs" but computable as a narrow scalar scan
-    val n = df.agg(count(when(
-      size(filter(tokens(col(textCol)), t => t =!= "")) > 0, true))
+    // participating docs = DISTINCT ids with ≥1 nonempty token — identical
+    // to "distinct ids in pairs" (countDistinct, so duplicate id rows —
+    // which the pairs groupBy merges — count once) but computable as a
+    // narrow scalar scan
+    val n = df.agg(countDistinct(when(
+      size(filter(tokens(col(textCol)), t => t =!= "")) > 0, col(idCol)))
       .as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
@@ -307,8 +309,10 @@ object CorpusRefine {
     local.join(broadcast(offsets), "_b")
       .withColumn("_cum_excl",
         col("_off") + col("_cum_local") - col(tokenCol))
-      .select(col(idCol), col(tokenCol),
-        floor(col("_cum_excl").cast("double") / budget).cast("long").as("shard"))
+      // integer div, like the bucketing above: a cumulative token count
+      // past 2^53 would round through a double and misassign boundary docs
+      .withColumn("shard", expr(s"_cum_excl div ${budget}L"))
+      .select(col(idCol), col(tokenCol), col("shard"))
   }
 
   // ---------- deterministic stratified sampling ----------

@@ -175,11 +175,20 @@ class ConfigRunnerSpec extends AnyFunSuite {
     // a quote NOT at value start is an ordinary character (journald values
     // are arbitrary byte strings); "" inside a quoted value is a literal "
     val m2 = s.range(1).select(map_from_arrays(
-      array(l("A"), l("B")), array(l("va\"lue"), l("say \"hi\""))).as("entries"))
+      array(l("A"), l("B"), l("C")),
+      array(l("va\"lue"), l("say \"hi\""), l("--opt=\"a b\""))).as("entries"))
     assert(m2.filter(pipeline.config.JournaldMatch.compile(
       """A=va"lue""")).count() == 1)
     assert(m2.filter(pipeline.config.JournaldMatch.compile(
       "B=\"say \"\"hi\"\"\"")).count() == 1)
+    // a quote after a NON-first '=' is mid-value → stays byte-literal
+    // (compiles to equality on '--opt="a'; matches nothing here)
+    assert(m2.filter(pipeline.config.JournaldMatch.compile(
+      "C=--opt=\"a")).count() == 0)
+    // the full spaced value with mid-value quotes is written start-quoted
+    // with the inner quotes doubled
+    assert(m2.filter(pipeline.config.JournaldMatch.compile(
+      "C=\"--opt=\"\"a b\"\"\"")).count() == 1)
   }
 
   test("config transforms clean the corpus before routing (ordered, end-to-end)") {
@@ -194,7 +203,12 @@ class ConfigRunnerSpec extends AnyFunSuite {
         pipeline.config.TransformSpec("stratified_sample",
           Map("rates" -> "en:50", "default" -> "100")),
         pipeline.config.TransformSpec("truncate", Map("maxChars" -> "64"))))
-    val inputs = Map("in" -> ConfigRunner.fixtureInput(s, spec.sources.head, 400, 2))
+    import s.implicits._
+    // 5 undecodable lines: LineCodec nulls every column → these must BYPASS
+    // the transforms (a lang/sample gate over nulls would silently eat them)
+    val garbage = Seq.tabulate(5)(i => s"not json at all {{{$i").toDF("value")
+    val inputs = Map("in" ->
+      ConfigRunner.fixtureInput(s, spec.sources.head, 400, 2).unionByName(garbage))
     val routed = ConfigRunner.routed(spec, inputs)
 
     // baseline: same config without transforms
@@ -213,6 +227,19 @@ class ConfigRunnerSpec extends AnyFunSuite {
       base.filter(col("lang") === "de").count())
     // truncate capped the payload before parse
     assert(routed.agg(max(length(col("extracted_text")))).head().getInt(0) <= 64)
+    // DECODE-corrupt rows (all-null after LineCodec) BYPASS the transforms
+    // and survive into the routed output — the never-vanish guarantee (a
+    // lang/sample gate over nulls would silently eat them). PARSE-corrupt
+    // rows carry real lang/url columns and are legitimately subject to the
+    // configured allowlist/sample filters like any other row.
+    val nullSurvivors = routed.filter(col("url").isNull)
+      .select(countDistinct(col("extracted_text")).as("d"), count(lit(1)).as("n"))
+      .head()
+    assert(nullSurvivors.getAs[Long]("n") >= 5L,
+      s"all 5 undecodable lines must survive the transforms: $nullSurvivors")
+    assert(base.filter(col("url").isNull).count() ==
+      routed.filter(col("url").isNull).count(),
+      "transforms must not change the decode-corrupt row count")
   }
 
   test("conflicting grok schemas across sources fail with a config-shaped error") {

@@ -117,6 +117,15 @@ class ConfigSpec extends AnyFunSuite {
       pipeline.config.TransformCompiler.one(
         pipeline.config.TransformSpec("lang_allowlist"))
     }
+    // array-valued options fail config-shaped (Jackson asText() would
+    // silently render them as "")
+    val e3 = intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        """{"sources": {"in": {"type": "file"}},
+          | "destinations": {"s3": {"type": "s3"}},
+          | "transforms": [{"type": "lang_allowlist", "langs": ["en","de"]}]}""".stripMargin)
+    }
+    assert(e3.getMessage.contains("must be a scalar"))
   }
 
   test("rule compiler: operators and conjunction") {
