@@ -295,6 +295,46 @@ class StreamingSpec extends AnyFunSuite {
       "streaming sessions must equal batch closed sessions")
   }
 
+  test("config-driven pipeline binds to a STREAMING source unchanged (daemon mode)") {
+    val s = sc
+    val landing = Files.createTempDirectory("graft-cfgstream").toString
+    pipeline.sources.LineCodec.encode(Webtext.df(s, 600, 2))
+      .write.mode("overwrite").parquet(landing)
+    val spec = pipeline.config.PipelineSpec(
+      sources = Seq(pipeline.config.SourceSpec("in", "file")),
+      sinks = Seq(pipeline.config.SinkSpec("s3", "s3"),
+        pipeline.config.SinkSpec("printer", "printer")),
+      rules = Nil,
+      // streaming-safe transforms only (dedup_exact needs batch semantics)
+      transforms = Seq(
+        pipeline.config.TransformSpec("pii_redact"),
+        pipeline.config.TransformSpec("lang_allowlist", Map("langs" -> "en,de,zh"))))
+
+    val batch = pipeline.config.ConfigRunner.routed(spec,
+      Map("in" -> s.read.parquet(landing)))
+      .groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // the SAME spec + stages bound to a readStream source — the reference's
+    // daemon loop shape; stages are pure DataFrame functions, so the config
+    // compiles identically for both execution modes
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = pipeline.config.ConfigRunner.routed(spec, Map("in" -> stream)).writeStream
+      .format("memory").queryName("cfg_stream").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("gcs").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.sql("SELECT sink, count(*) AS n FROM cfg_stream GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && batch.values.sum > 0,
+      s"streaming config run must equal batch: $streamed vs $batch")
+  }
+
   test("event-time window counts with watermark") {
     val s = sc
     val landing = Files.createTempDirectory("graft-landing3").toString
