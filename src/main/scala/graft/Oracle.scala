@@ -701,6 +701,19 @@ object Oracle {
         | CAST((cum - n_tokens) // 1000 AS BIGINT) AS shard
         |FROM c""".stripMargin,
 
+    "q_decontaminate" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest($shinglesSql) AS sh FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+        |), bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+        |), corpus AS (
+        |  SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0
+        |)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM corpus JOIN bench USING (sh)
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${h32("CAST(doc_id AS VARCHAR)")} % 100 <

@@ -592,6 +592,17 @@ object Queries {
       budget = 1000L, buckets = 8)
   }
 
+  /** Benchmark decontamination: docs sharing ≥ 5 distinct 3-gram shingles
+    * with the held-out "benchmark" slice (doc_id % 50 == 0), benchmark
+    * docs themselves excluded from the report. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    CorpusRefine.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(50L)) === 0),
+      "doc_id", "text", nGram = 3, minShared = 5L)
+  }
+
   /** Deterministic stratified sample: downweight overrepresented strata
     * (en 50%, de 30%, rest 10%) via the portable hash gate. */
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =

@@ -66,6 +66,7 @@ object SparkEntry {
     "q_corpus_assemble" -> (Queries.qCorpusAssemble _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
     "q_pack_shards" -> (Queries.qPackShards _),
+    "q_decontaminate" -> (Queries.qDecontaminate _),
     "q_multimodal" -> (Queries.qMultimodal _),
     "q_multimodal_image" -> (Queries.qMultimodalImage _),
     "q_corpus_clean" -> (Queries.qCorpusClean _))

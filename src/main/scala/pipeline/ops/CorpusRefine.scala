@@ -315,6 +315,43 @@ object CorpusRefine {
       .select(col(idCol), col(tokenCol), col("shard"))
   }
 
+  /**
+   * Benchmark DECONTAMINATION: flag corpus documents sharing ≥ `minShared`
+   * distinct word n-gram shingles with ANY benchmark document — the
+   * standard train/test-overlap check a training corpus runs before
+   * shipping (exact-substring family; MinHash handles the fuzzy tail).
+   *
+   * Shape: the benchmark side collapses to DISTINCT shingles and is
+   * BROADCAST (benchmark suites are tiny next to a training corpus), so
+   * the corpus side stays fully narrow — explode + broadcast-semi-join +
+   * per-doc count, ONE data-sized shuffle (the per-doc aggregate, which
+   * map-side combines). Returns (id, n_shared) for contaminated docs.
+   */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, nGram: Int = 3,
+                    minShared: Long = 1L): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingles(tokens(col(textCol)), nGram)).as("sh"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), nGram)).as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .groupBy(col(idCol))
+      // shingles() is per-doc distinct already, so plain count = distinct
+      // shared shingles
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Decontamination APPLY: the corpus minus contaminated docs. */
+  def decontaminateApply(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, nGram: Int = 3,
+                         minShared: Long = 1L): DataFrame =
+    corpus.join(
+      decontaminate(corpus, bench, idCol, textCol, nGram, minShared)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   // ---------- deterministic stratified sampling ----------
 
   /**

@@ -217,6 +217,43 @@ class CorpusRefineSpec extends AnyFunSuite {
       s"local cumsum must partition by bucket:\n$plan")
   }
 
+  test("decontaminate: shared-shingle threshold, benchmark broadcast, apply") {
+    val s = sc
+    import s.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a sleepy cat"), // 4 shared 3-grams
+      (2L, "the quick brown fox jumps over the lazy dog today"), // 7 shared
+      (3L, "completely unrelated words in this document here"),
+      (4L, "quick brown fox appears once")) // 1 shared ("quick brown fox")
+      .toDF("doc_id", "text")
+    val flagged = CorpusRefine.decontaminate(corpus, bench, "doc_id", "text",
+      nGram = 3, minShared = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(1L -> 4L, 2L -> 7L))
+    // apply drops exactly the flagged docs
+    val kept = CorpusRefine.decontaminateApply(corpus, bench, "doc_id", "text",
+      nGram = 3, minShared = 4L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+    // threshold 1 also catches doc 4
+    assert(CorpusRefine.decontaminate(corpus, bench, "doc_id", "text", 3, 1L)
+      .count() == 3)
+    // plan: the benchmark side is broadcast — the CORPUS never shuffles for
+    // the join; the only exchanges are the per-doc count aggregate and the
+    // benchmark side's own tiny shingle-distinct (bench-sized, not
+    // corpus-sized)
+    val q = CorpusRefine.decontaminate(corpus.repartition(2), bench,
+      "doc_id", "text", 3, 1L)
+    q.count()
+    val p = q.queryExecution.executedPlan.toString
+    val fp = { val c = p.indexOf("== Initial Plan =="); if (c < 0) p else p.substring(0, c) }
+    assert(fp.contains("BroadcastHashJoin"), fp)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(fp).size == 1, fp)
+    assert("Exchange hashpartitioning".r.findAllIn(fp).size <= 2, fp)
+  }
+
   test("stratifiedSample: deterministic, rate-bounded, stratum-respecting") {
     val s = sc
     import s.implicits._
