@@ -104,16 +104,23 @@ object ConfigRunner {
     }
     // ordered corpus transforms (our extension) run on the fanned-in doc
     // frame BEFORE parse/route — compiled eagerly so a bad config fails
-    // here, not mid-job on an executor. Undecodable rows (null text — the
-    // deadletter path) BYPASS the transforms: a lang allowlist or sample
-    // gate evaluating null must not silently delete a corrupt row the
-    // route stage guarantees to divert and count ("a row matching NO rule
-    // must never vanish", stages.Route).
+    // here, not mid-job on an executor. UNDECODED rows (decode produced NO
+    // fields at all) bypass the filtering transforms via a per-row marker
+    // column — not a frame split, so each source is scanned once — because
+    // a lang/sample gate evaluating null must not silently delete a row
+    // the route stage guarantees to account ("a row matching NO rule must
+    // never vanish", stages.Route). Rows that decoded real fields are
+    // subject to the configured filters like any other row.
     val fanned = Sources.fanIn(srcs)
     val transformed =
       if (spec.transforms.isEmpty) fanned
-      else TransformCompiler(spec)(fanned.filter(col("text").isNotNull))
-        .unionByName(fanned.filter(col("text").isNull))
+      else {
+        val undecoded =
+          col("text").isNull && col("url").isNull && col("lang").isNull
+        TransformCompiler(spec)(
+          fanned.withColumn(TransformCompiler.BypassCol, undecoded))
+          .drop(TransformCompiler.BypassCol)
+      }
     Pipeline.transform(transformed, observed = false, rules = rules(spec))
   }
 

@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions.{col, lit, try_element_at}
  *
  * journalctl matches are separate argv words, so a value with spaces is
  * expressible there via shell quoting; in this single-string config
- * surface, a double quote IMMEDIATELY AFTER `=` opens a quoted value that
- * carries spaces and `+` (`F="a b"`); inside it `""` is a literal quote.
- * A quote anywhere else is an ordinary character (`F=va"lue` matches the
- * byte string `va"lue`), so journald's arbitrary-byte field values stay
- * expressible.
+ * surface, a double quote immediately after the token's FIRST `=` (the
+ * field=value boundary) opens a quoted value that carries spaces and `+`
+ * (`F="a b"`); inside it `""` is a literal quote. A quote anywhere else —
+ * including after a LATER `=` inside the value — is an ordinary character
+ * (`F=va"lue` and `F=--opt="x` stay byte-literal), so journald's
+ * arbitrary-byte field values stay expressible; a spaced value containing
+ * quotes is written start-quoted with inner quotes doubled.
  *
  * All comparisons are string equality on the raw field value — journald
  * fields are untyped byte strings, so there is no numeric coercion (the

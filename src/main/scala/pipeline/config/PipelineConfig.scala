@@ -150,9 +150,10 @@ object PipelineConfig {
         val opts = n.properties().asScala
           .filterNot(_.getKey == "type")
           .map { e =>
-            // Jackson's asText() silently renders arrays/objects as "" —
-            // reject them config-shaped (same reason as the int() helper)
-            if (e.getValue.isContainerNode)
+            // Jackson's asText() silently renders arrays/objects as "" and
+            // JSON null as the string "null" — reject both config-shaped
+            // (same reason as the int() helper)
+            if (e.getValue.isContainerNode || e.getValue.isNull)
               throw new IllegalArgumentException(
                 s"transform '$kind' option '${e.getKey}' must be a scalar " +
                   "string (write lists as comma-separated values)")

@@ -226,8 +226,9 @@ object CorpusRefine {
    * + join, whose pruned re-reads would explode the corpus three times —
    * Catalyst column pruning defeats subplan reuse across
    * differently-pruned consumers), (3) the scalar N from a second NARROW
-   * pass (tokenize + distinct-count only — no explode, no data-sized
-   * shuffle), (4) the per-doc top-k window. Three exchanges total, all
+   * pass (tokenize + distinct-id count — no explode; its only exchange is
+   * the id-keyed partial-distinct, one row per doc), (4) the per-doc
+   * top-k window. Three exchanges total, all
    * over the small aggregated pair frame, on high-cardinality keys.
    */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
@@ -241,8 +242,8 @@ object CorpusRefine {
       count(lit(1)).over(Window.partitionBy(col("term"))))
     // participating docs = DISTINCT ids with ≥1 nonempty token — identical
     // to "distinct ids in pairs" (countDistinct, so duplicate id rows —
-    // which the pairs groupBy merges — count once) but computable as a
-    // narrow scalar scan
+    // which the pairs groupBy merges — count once) without re-exploding:
+    // the cost is one tokenize scan + a doc-count-sized distinct exchange
     val n = df.agg(countDistinct(when(
       size(filter(tokens(col(textCol)), t => t =!= "")) > 0, col(idCol)))
       .as("n_docs"))

@@ -242,6 +242,41 @@ class ConfigRunnerSpec extends AnyFunSuite {
       "transforms must not change the decode-corrupt row count")
   }
 
+  test("dedup_exact transform: deterministic min-url keeper; streaming refuses loudly") {
+    val s = sc
+    import s.implicits._
+    val d = Seq(
+      ("b.example/2", "same text", "de"),
+      ("a.example/1", "same text", "en"),
+      (null.asInstanceOf[String], "same text", "fr"),
+      ("c.example/3", null.asInstanceOf[String], "xx"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("source", lit("src"))
+    val stage = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("dedup_exact"))
+    val out = stage(d).select("url", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // keeper = min url (nulls last); null-TEXT row passes uncollapsed
+    assert(out == Set(("a.example/1", "en"), ("c.example/3", "xx")))
+    assert(stage(d).select("url", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == out) // rerun-stable
+    // a streaming frame fails AT START (unwatermarked window is not a
+    // streaming operator) instead of silently growing unbounded state
+    val landing = java.nio.file.Files.createTempDirectory("dedup-stream").toString
+    d.write.mode("overwrite").parquet(landing)
+    val stream = s.readStream.schema(d.schema).parquet(landing)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      stage(stream).writeStream.format("memory").queryName("ddx")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ddxc").toString)
+        .start()
+    }
+    assert(ex.getMessage.toLowerCase.contains("window") ||
+      ex.getMessage.toLowerCase.contains("streaming"))
+  }
+
   test("conflicting grok schemas across sources fail with a config-shaped error") {
     val s = sc
     val spec = pipeline.config.PipelineSpec(
