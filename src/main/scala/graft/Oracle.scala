@@ -522,6 +522,66 @@ object Oracle {
         |FROM g""".stripMargin
     },
 
+    "q_grok_haproxy" -> {
+      // fields in group order: 1 client_ip, 2 client_port, 3 accept_date,
+      // 4 frontend, 5 backend, 6 server, 7 tq, 8 tw, 9 tc, 10 tr, 11 tt,
+      // 12 status, 13 bytes, 14 req_cookie, 15 resp_cookie, 16 term_state,
+      // 17 actconn, 18 feconn, 19 beconn, 20 srvconn, 21 retries,
+      // 22 srv_queue, 23 backend_queue, 24 request
+      val re = pipeline.expr.Grok.compile("%{HAPROXYHTTPLINE}").regex
+        .replace("'", "''")
+      val line =
+        """'10.4.' || CAST(doc_id % 256 AS VARCHAR) ||
+          | '.' || CAST((doc_id * 11) % 256 AS VARCHAR) ||
+          | ':' || CAST(40000 + doc_id % 20000 AS VARCHAR) ||
+          | ' [01/Jan/2026:12:00:0' || CAST(doc_id % 10 AS VARCHAR) ||
+          | '.' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+          | '] fe' || CAST(doc_id % 3 AS VARCHAR) ||
+          | ' be' || CAST(doc_id % 4 AS VARCHAR) ||
+          | '/srv' || CAST(doc_id % 6 AS VARCHAR) ||
+          | ' ' || CAST(doc_id % 9 AS VARCHAR) ||
+          | '/' || CAST(doc_id % 7 AS VARCHAR) ||
+          | '/' || CAST(doc_id % 5 AS VARCHAR) ||
+          | '/' || CAST(doc_id % 11 AS VARCHAR) ||
+          | '/' || CAST(10 + doc_id % 90 AS VARCHAR) ||
+          | ' ' || CAST(200 + doc_id % 5 AS VARCHAR) ||
+          | ' ' || CAST(n_chars AS VARCHAR) ||
+          | ' - - ---- ' ||
+          | CAST(doc_id % 50 AS VARCHAR) ||
+          | '/' || CAST(doc_id % 40 AS VARCHAR) ||
+          | '/' || CAST(doc_id % 30 AS VARCHAR) ||
+          | '/' || CAST(doc_id % 20 AS VARCHAR) ||
+          | '/' || CAST(doc_id % 3 AS VARCHAR) ||
+          | ' ' || CAST(doc_id % 8 AS VARCHAR) ||
+          | '/' || CAST(doc_id % 6 AS VARCHAR) ||
+          | ' "GET /h/' || CAST(doc_id AS VARCHAR) ||
+          | ' t' || substr(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 8) ||
+          | '"'""".stripMargin
+      s"""WITH lines AS (SELECT doc_id, $line AS l FROM documents),
+        |g AS (SELECT doc_id, regexp_extract(l, '$re',
+        |  ['client_ip','client_port','accept_date','frontend','backend',
+        |   'server','tq','tw','tc','tr','tt','status','bytes','req_cookie',
+        |   'resp_cookie','term_state','actconn','feconn','beconn','srvconn',
+        |   'retries','srv_queue','backend_queue','request']) AS s FROM lines)
+        |SELECT doc_id,
+        | s.client_ip AS g_client_ip,
+        | CAST(s.client_port AS INTEGER) AS g_client_port,
+        | s.accept_date AS g_accept_date,
+        | s.frontend AS g_frontend,
+        | s.backend AS g_backend,
+        | s.server AS g_server,
+        | CAST(s.tq AS INTEGER) AS g_tq,
+        | CAST(s.tt AS INTEGER) AS g_tt,
+        | CAST(s.status AS INTEGER) AS g_status,
+        | CAST(s.bytes AS BIGINT) AS g_bytes,
+        | s.term_state AS g_term_state,
+        | CAST(s.actconn AS INTEGER) AS g_actconn,
+        | CAST(s.retries AS INTEGER) AS g_retries,
+        | CAST(s.srv_queue AS INTEGER) AS g_srv_queue,
+        | s.request AS g_request
+        |FROM g""".stripMargin
+    },
+
     "q_grok_syslog5424" -> {
       // same compiled expansion; fields 1..9 = pri, ver, ts, host, app,
       // proc, msgid, sd, msg. proc is nil on doc_id%3==0 and sd on odd

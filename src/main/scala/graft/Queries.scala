@@ -473,6 +473,59 @@ object Queries {
       g.getField("s5_msg").as("g_msg"))
   }
 
+  /** HAProxy httplog line synthesized from doc columns (every field a pure
+    * function of doc_id, request tail from the alnum-cleaned text). */
+  def haproxyLine: org.apache.spark.sql.Column = concat(
+    lit("10.4."), pmod(col("doc_id"), lit(256L)).cast("string"),
+    lit("."), pmod(col("doc_id") * 11, lit(256L)).cast("string"),
+    lit(":"), (lit(40000L) + pmod(col("doc_id"), lit(20000L))).cast("string"),
+    lit(" [01/Jan/2026:12:00:0"), pmod(col("doc_id"), lit(10L)).cast("string"),
+    lit("."), lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+    lit("] fe"), pmod(col("doc_id"), lit(3L)).cast("string"),
+    lit(" be"), pmod(col("doc_id"), lit(4L)).cast("string"),
+    lit("/srv"), pmod(col("doc_id"), lit(6L)).cast("string"),
+    lit(" "), pmod(col("doc_id"), lit(9L)).cast("string"),
+    lit("/"), pmod(col("doc_id"), lit(7L)).cast("string"),
+    lit("/"), pmod(col("doc_id"), lit(5L)).cast("string"),
+    lit("/"), pmod(col("doc_id"), lit(11L)).cast("string"),
+    lit("/"), (lit(10L) + pmod(col("doc_id"), lit(90L))).cast("string"),
+    lit(" "), (lit(200L) + pmod(col("doc_id"), lit(5L))).cast("string"),
+    lit(" "), col("n_chars").cast("string"),
+    lit(" - - ---- "),
+    pmod(col("doc_id"), lit(50L)).cast("string"),
+    lit("/"), pmod(col("doc_id"), lit(40L)).cast("string"),
+    lit("/"), pmod(col("doc_id"), lit(30L)).cast("string"),
+    lit("/"), pmod(col("doc_id"), lit(20L)).cast("string"),
+    lit("/"), pmod(col("doc_id"), lit(3L)).cast("string"),
+    lit(" "), pmod(col("doc_id"), lit(8L)).cast("string"),
+    lit("/"), pmod(col("doc_id"), lit(6L)).cast("string"),
+    lit(" \"GET /h/"), col("doc_id").cast("string"),
+    lit(" t"), substring(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), 1, 8),
+    lit("\""))
+
+  /** Grok classic composition #4: `%{HAPROXYHTTPLINE}` — the 20-field
+    * HAProxy httplog format. */
+  def qGrokHaproxy(s: SparkSession, dir: String): DataFrame = {
+    val g = pipeline.expr.Grok.extract(haproxyLine, "%{HAPROXYHTTPLINE}")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      g.getField("ha_client_ip").as("g_client_ip"),
+      g.getField("ha_client_port").as("g_client_port"),
+      g.getField("ha_accept_date").as("g_accept_date"),
+      g.getField("ha_frontend").as("g_frontend"),
+      g.getField("ha_backend").as("g_backend"),
+      g.getField("ha_server").as("g_server"),
+      g.getField("ha_tq").as("g_tq"),
+      g.getField("ha_tt").as("g_tt"),
+      g.getField("ha_status").as("g_status"),
+      g.getField("ha_bytes").as("g_bytes"),
+      g.getField("ha_term_state").as("g_term_state"),
+      g.getField("ha_actconn").as("g_actconn"),
+      g.getField("ha_retries").as("g_retries"),
+      g.getField("ha_srv_queue").as("g_srv_queue"),
+      g.getField("ha_request").as("g_request"))
+  }
+
   /** COMPOSITE training-data pipeline: exact-dedup keepers ∘ language
     * allowlist ∘ quality thresholds — the ops composing as one relational
     * plan (one digest shuffle + narrow filters), the shape a corpus-cleaning

@@ -87,6 +87,23 @@ object Grok {
     // Nilable fields ('-') use a leading '-' alternative — leftmost-first
     // submatch semantics agree between java.util.regex and RE2, so a nil
     // leaves the named group non-participating on both engines.
+    // HAProxy HTTP log (the haproxy docs' httplog format): client,
+    // accept date, frontend/backend/server, the five timer fields, status,
+    // bytes, cookies, termination state, the four conn counters + retries,
+    // queues, and the quoted request line.
+    "HAPROXYDATE" -> "%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME}\\.[0-9]{3}",
+    "HAPROXYHTTPLINE" ->
+      ("%{IPV4:ha_client_ip}:%{INT:ha_client_port:int} " +
+        "\\[%{HAPROXYDATE:ha_accept_date}\\] %{NOTSPACE:ha_frontend} " +
+        "%{NOTSPACE:ha_backend}/%{NOTSPACE:ha_server} " +
+        "%{INT:ha_tq:int}/%{INT:ha_tw:int}/%{INT:ha_tc:int}/" +
+        "%{INT:ha_tr:int}/%{INT:ha_tt:int} %{INT:ha_status:int} " +
+        "%{INT:ha_bytes:long} %{NOTSPACE:ha_req_cookie} " +
+        "%{NOTSPACE:ha_resp_cookie} %{NOTSPACE:ha_term_state} " +
+        "%{INT:ha_actconn:int}/%{INT:ha_feconn:int}/%{INT:ha_beconn:int}/" +
+        "%{INT:ha_srvconn:int}/%{INT:ha_retries:int} " +
+        "%{INT:ha_srv_queue:int}/%{INT:ha_backend_queue:int} " +
+        "\"%{DATA:ha_request}\""),
     // the nil '-' alternatives live OUTSIDE the named references: a nil
     // must leave the group non-participating (null field), not capture "-"
     "SYSLOG5424SD" -> "(?:\\[[^\\]]+\\])+",

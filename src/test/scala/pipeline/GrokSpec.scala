@@ -103,6 +103,26 @@ class GrokSpec extends AnyFunSuite {
     val v1 = vo(1).getStruct(0)
     assert(v1.getInt(0) == 34 && v1.isNullAt(5) && v1.isNullAt(7) &&
       v1.getString(8) == "all nil here")
+    // HAProxy httplog: all 24 fields from one reference, typed timers
+    val h = Grok.compile("%{HAPROXYHTTPLINE}")
+    assert(h.fields.size == 24 && h.fields.head.name == "ha_client_ip" &&
+      h.fields.last.name == "ha_request")
+    val hl = Seq(
+      """192.168.9.7:51234 [01/Jan/2026:12:00:03.123] fe1 be2/srv3 """ +
+        """0/1/2/3/45 200 5120 - - ---- 9/8/7/6/0 1/0 "GET /x HTTP/1.1"""")
+      .toDF("line")
+    val ho = hl.select(Grok.extract(col("line"), "%{HAPROXYHTTPLINE}").as("g"))
+      .collect()(0).getStruct(0)
+    assert(ho.getString(0) == "192.168.9.7" && ho.getInt(1) == 51234)
+    assert(ho.getString(2) == "01/Jan/2026:12:00:03.123")
+    assert(ho.getString(3) == "fe1" && ho.getString(4) == "be2" &&
+      ho.getString(5) == "srv3")
+    assert(ho.getInt(6) == 0 && ho.getInt(10) == 45) // tq, tt
+    assert(ho.getInt(11) == 200 && ho.getLong(12) == 5120L)
+    assert(ho.getString(15) == "----")
+    assert(ho.getInt(16) == 9 && ho.getInt(20) == 0) // actconn, retries
+    assert(ho.getInt(21) == 1 && ho.getInt(22) == 0) // queues
+    assert(ho.getString(23) == "GET /x HTTP/1.1")
   }
 
   test("SQL surface graft_grok == Column API; config grok wiring") {
