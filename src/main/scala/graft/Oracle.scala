@@ -52,13 +52,13 @@ object Oracle {
       |       ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) END ||
       |  CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
       |  FROM documents),
-      |nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM u0),
-      |parts AS (SELECT doc_id,
+      |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM u0),
+      |parts AS (SELECT doc_id, url,
       |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |  lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
       |  regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$$', 1) AS rest
       | FROM nf),
-      |canon AS (SELECT doc_id, scheme || '://' ||
+      |canon AS (SELECT doc_id, CASE WHEN scheme = '' THEN url ELSE scheme || '://' ||
       |  regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
       |                      WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
       |                      ELSE hostport END, '^www\\.', '') ||
@@ -67,7 +67,7 @@ object Oracle {
       |      '&(utm_[A-Za-z0-9_]*|fbclid)=[^&]*', '', 'g'),
       |      '\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*&', '?'),
       |      '\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*$$', ''),
-      |    '/+\\?', '?'), '/+$$', '') AS url_canon FROM parts)
+      |    '/+\\?', '?'), '/+$$', '') END AS url_canon FROM parts)
       |$body""".stripMargin
 
   private val shinglesSql =
@@ -795,6 +795,21 @@ object Oracle {
         | CAST(doc_id % 48 + 1 AS INTEGER) AS img_h,
         | 'png' AS img_format,
         | '89504E470D0A1A0A' AS magic_hex
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_audio" ->
+      // same contract as q_multimodal_image: the Spark side ENCODES a real
+      // PCM WAV per row and DECODES its header back through
+      // javax.sound.sampled; rate/channels/frames are pure functions of
+      // doc_id and the magic is the 4-byte RIFF signature
+      """SELECT doc_id,
+        | CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+        | CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+        | CAST(doc_id % 100 + 50 AS BIGINT) AS n_frames,
+        | CAST(floor(CAST(doc_id % 100 + 50 AS DOUBLE) * 1000.0 /
+        |   CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE)) AS BIGINT) AS duration_ms,
+        | 'wav' AS audio_format,
+        | '52494646' AS magic_hex
         |FROM documents""".stripMargin
   )
 }

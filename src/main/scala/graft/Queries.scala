@@ -672,6 +672,31 @@ object Queries {
         octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("digest"))
 
+  /** REAL audio codec round-trip (JDK `javax.sound.sampled`, zero external
+    * jars): a deterministic (doc_id-derived) 16-bit PCM WAV is ENCODED per
+    * row, then its header is DECODED back — the oracle knows the expected
+    * rate/channels/frames (pure functions of doc_id) and the 4-byte RIFF
+    * magic, so a stubbed codec cannot pass. Compressed audio and video
+    * stay documented stubs (pipeline.ops.Multimodal.Codecs). */
+  def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    val rate = (lit(8000L) + pmod(col("doc_id"), lit(4L)) * 4000L).cast("int")
+    val ch = (pmod(col("doc_id"), lit(2L)) + 1).cast("int")
+    val frames = (pmod(col("doc_id"), lit(100L)) + 50).cast("int")
+    val wav = pipeline.expr.AudioExprs.wavEncode(rate, ch, frames)
+    val hdr = pipeline.expr.AudioExprs.wavHeader(wav)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      hdr.getField("sample_rate").as("sample_rate"),
+      hdr.getField("channels").as("n_channels"),
+      hdr.getField("frames").as("n_frames"),
+      // duration in ms: exact integer floor-division range (≤ 149·1000),
+      // expressed as floor of a double division on both engines
+      floor(hdr.getField("frames").cast("double") * 1000.0 /
+        hdr.getField("sample_rate").cast("double")).cast("long").as("duration_ms"),
+      hdr.getField("format").as("audio_format"),
+      hex(substring(wav, 1, 4)).as("magic_hex"))
+  }
+
   /** REAL image codec round-trip (JDK `javax.imageio`, zero external jars):
     * a deterministic (doc_id-derived) PNG is ENCODED per row, then its
     * header is DECODED back — the oracle knows the expected dims (pure

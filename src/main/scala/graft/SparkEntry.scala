@@ -70,6 +70,7 @@ object SparkEntry {
     "q_decontaminate" -> (Queries.qDecontaminate _),
     "q_multimodal" -> (Queries.qMultimodal _),
     "q_multimodal_image" -> (Queries.qMultimodalImage _),
+    "q_multimodal_audio" -> (Queries.qMultimodalAudio _),
     "q_corpus_clean" -> (Queries.qCorpusClean _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

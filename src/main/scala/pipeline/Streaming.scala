@@ -123,9 +123,10 @@ object Streaming {
                        batchSize: Int, flushMs: Long,
                        transport: io.Push.Transport, maxRetries: Int = 3,
                        trigger: Trigger = Trigger.AvailableNow(),
-                       shards: Int = 1): StreamingQuery = {
+                       shards: Int = 1,
+                       watermarkDelay: String = "0 seconds"): StreamingQuery = {
     val flushes = streaming.Batcher.eventFlushes(
-      routedStream, batchSize, flushMs, shards)
+      routedStream, batchSize, flushMs, shards, watermarkDelay)
     flushes.writeStream
       .option("checkpointLocation", s"$outDir/_push_checkpoint")
       .trigger(trigger)

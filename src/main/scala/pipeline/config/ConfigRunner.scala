@@ -44,19 +44,25 @@ object ConfigRunner {
       case "journald" =>
         // fielded decode: journald entries are key→value records, kept
         // addressable as an `entries` map (SURVEY.md §1.3 — the same shape
-        // as eventlog EventData); maxLineLenKB caps the event payload at
-        // the source (`examples/journald_to_s3batch_config.json:5`) — on
-        // BOTH projections: `text` AND every entries value (a multi-MB
-        // MESSAGE must not bypass the size bound by riding the map)
-        // an optional `query` is a journalctl(1) MATCHES expression over
-        // the entries map — the journald twin of eventlog's XPath filter
-        val decoded =
-          src.maxLineLenKB.foldLeft(LineCodec.decodeJournald(raw)) { (d, kb) =>
-            Sources.truncate(d, kb, "text")
-              .withColumn("entries", transform_values(col("entries"),
-                (_, v) => substring(v, 1, kb * 1024)))
-          }
-        Sources.filtered(decoded, JournaldMatch.compileOpt(src.query))
+        // as eventlog EventData); an optional `query` is a journalctl(1)
+        // MATCHES expression over the entries map — the journald twin of
+        // eventlog's XPath filter. The match runs BEFORE truncation, like
+        // journalctl itself (its MATCHES see full field values): a
+        // FIELD=VALUE match against content past the size cap must still
+        // hit. maxLineLenKB then caps the event payload
+        // (`examples/journald_to_s3batch_config.json:5`) on BOTH
+        // projections: `text` AND every entries value (a multi-MB MESSAGE
+        // must not bypass the size bound by riding the map). The cap
+        // counts CHARACTERS against a KB option — exact for journald's
+        // mostly-ASCII fields, and never truncating too early (a UTF-8
+        // value may exceed the byte bound by up to 3×, erring permissive).
+        val matched = Sources.filtered(
+          LineCodec.decodeJournald(raw), JournaldMatch.compileOpt(src.query))
+        src.maxLineLenKB.foldLeft(matched) { (d, kb) =>
+          Sources.truncate(d, kb, "text")
+            .withColumn("entries", transform_values(col("entries"),
+              (_, v) => substring(v, 1, kb * 1024)))
+        }
       case "nginx_syslog" | "syslog" =>
         LineCodec.decode(Sources.stripSyslog(raw, "value"))
       case "eventlog" =>

@@ -69,7 +69,12 @@ object CorpusRefine {
     val r2 = regexp_replace(r1, "\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*&", "?")
     val r3 = regexp_replace(r2, "\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*$", "")
     val r4 = regexp_replace(regexp_replace(r3, "/+\\?", "?"), "/+$", "")
-    concat(scheme, lit("://"), host, r4)
+    // scheme-less/malformed input (regexp_extract misses → ""): fall back
+    // to the RAW value rather than canonicalizing everything to the
+    // constant "://" — which would collapse ALL malformed URLs into ONE
+    // dedup group and silently drop all but one of them in the left-semi
+    // apply pattern (qCorpusAssemble)
+    when(scheme === "", u).otherwise(concat(scheme, lit("://"), host, r4))
   }
 
   /** URL-keyed exact dedup: canonicalize, group, keep the lowest id. ONE
@@ -165,12 +170,19 @@ object CorpusRefine {
    * occurrence (ordered by doc id, then position) — every later copy in any
    * document drops. Returns per-document (n_paras, n_kept).
    *
-   * Scale shape: one shuffle on the paragraph digest; the window is
-   * rank-1-only (WindowGroupLimit prunes to the minimum per digest). At
-   * real web scale ubiquitous boilerplate paragraphs make hot digests — the
-   * same DF-cap guard as [[Dedup.ngramJaccard]] applies if the per-digest
-   * row count skews (here each digest group collapses to ONE surviving row,
-   * so the reduce is a min, not a join fan-out — no quadratic hazard).
+   * Scale shape (skew-safe): first occurrence per digest is a
+   * `groupBy(d).agg(min(struct(id, pos)))` — map-side combinable, so a
+   * ubiquitous boilerplate paragraph's copies partial-reduce inside each
+   * input partition and no task ever sees a hot digest's full row set (the
+   * round-3 rank window did: with no rank filter, WindowGroupLimit cannot
+   * prune, and every copy of a hot digest sorted in ONE task). Winners are
+   * then marked by an equijoin on (d, id, pos) — a key that is UNIQUE per
+   * exploded row, so the join itself has no hot key either (and is
+   * AQE-skew-splittable regardless). Only digests ride the shuffles, never
+   * paragraph text. The exploded frame is consumed by both the firsts
+   * aggregate and the join probe under one materialization barrier; both
+   * consumers use the identical (id, pos, d) column set, so ColumnPruning
+   * cannot specialize the barrier exchange per consumer.
    */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3): DataFrame = {
@@ -179,12 +191,20 @@ object CorpusRefine {
         .as(Seq("pos", "para")))
       // digest, not the paragraph text, rides the shuffle
       .select(col(idCol), col("pos"), md5(col("para").cast("binary")).as("d"))
-    val w = Window.partitionBy(col("d")).orderBy(col(idCol), col("pos"))
-    exploded
-      .withColumn("rn", row_number().over(w))
+      // semantically a no-op (md5 of a non-null chunk is never null): the
+      // left-outer join below infers isnotnull(d) on its BUILD side only,
+      // and that filter pushed under one branch's exchange would break the
+      // canonical equality AQE stage reuse needs — state it on BOTH
+      .filter(col("d").isNotNull)
+      .repartition(col(idCol))
+    val firsts = exploded.groupBy(col("d"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+      .select(col("d"), col("f").getField(idCol).as(idCol),
+        col("f").getField("pos").as("pos"), lit(true).as("is_first"))
+    exploded.join(firsts, Seq("d", idCol, "pos"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"))
   }
 
   /**
@@ -220,26 +240,41 @@ object CorpusRefine {
    * `ln` is not guaranteed identical — and within a document the ranking
    * power is comparable. Ties break by term ascending.
    *
-   * Shape: a LINEAR chain so the EXPLODED corpus pass runs exactly once —
-   * (1) (id, term) tf aggregate (map-side combined; the only explode),
-   * (2) df attached via a term-partitioned window (no separate aggregate
-   * + join, whose pruned re-reads would explode the corpus three times —
-   * Catalyst column pruning defeats subplan reuse across
-   * differently-pruned consumers), (3) the scalar N from a second NARROW
-   * pass (tokenize + distinct-id count — no explode; its only exchange is
-   * the id-keyed partial-distinct, one row per doc), (4) the per-doc
-   * top-k window. Three exchanges total, all
-   * over the small aggregated pair frame, on high-cardinality keys.
+   * Shape (skew-safe): (1) the (id, term) tf aggregate (map-side combined;
+   * the only explode) under a materialization barrier; (2) df via a
+   * `groupBy(term)` COUNT aggregate over that barrier — partial counts
+   * combine inside each input partition, so no task ever sees a stop-term's
+   * full (doc, term) row set (the round-3 `count().over(partitionBy(term))`
+   * window did exactly that: at web scale df("the") ≈ corpus size through
+   * ONE reducer); (3) df joins back on `term` — an equijoin AQE can
+   * skew-split, unlike a window partition; (4) the scalar N from a second
+   * NARROW pass (tokenize + distinct-id count, no explode); (5) the per-doc
+   * top-k window (rank-filtered → WindowGroupLimit prunes map-side).
+   *
+   * `maxDocFreq` (optional) additionally drops terms with df > cap from
+   * RANKING entirely — semantically safe for top-k salience (score =
+   * tf·N/df → ~tf for ubiquitous terms, which can never be top-k salient)
+   * and it kills the hot join keys outright. Default = unlimited, exact
+   * parity with the SQL oracle.
+   *
+   * Both consumers of `pairs` (the df aggregate and the join probe) use
+   * the identical (id, term, tf) column set — `count(when(tf >= 1, id))`
+   * ≡ `count(*)` here (tf ≥ 1 by construction) and exists solely so
+   * ColumnPruning cannot specialize the barrier exchange per consumer.
    */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
-                k: Int): DataFrame = {
+                k: Int, maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val pairs = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val withDf = pairs.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
+      .repartition(col(idCol))
+    val dfAgg = pairs.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1, col(idCol))).as("df"))
+    val dfKept =
+      if (maxDocFreq == Long.MaxValue) dfAgg
+      else dfAgg.filter(col("df") <= maxDocFreq)
     // participating docs = DISTINCT ids with ≥1 nonempty token — identical
     // to "distinct ids in pairs" (countDistinct, so duplicate id rows —
     // which the pairs groupBy merges — count once) without re-exploding:
@@ -249,7 +284,8 @@ object CorpusRefine {
       .as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    withDf.crossJoin(broadcast(n))
+    pairs.join(dfKept, Seq("term"))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -282,9 +318,18 @@ object CorpusRefine {
                       budget: Long, buckets: Int = 256): DataFrame = {
     require(budget > 0 && buckets > 0, s"bad budget=$budget buckets=$buckets")
     val mm = df.agg(min(col(idCol)).cast("long").as("lo"),
-      max(col(idCol)).cast("long").as("hi")).head()
-    if (mm.isNullAt(0)) // empty input: shape-stable empty result
+      max(col(idCol)).cast("long").as("hi"),
+      count(lit(1)).as("n_rows"), count(col(idCol)).as("n_ids")).head()
+    if (mm.isNullAt(0) && mm.getLong(2) == 0) // empty input: shape-stable empty result
       return df.select(col(idCol), col(tokenCol), lit(0L).as("shard")).limit(0)
+    // null ids would vanish silently: min/max ignore them, their bucket is
+    // null, and the inner offsets join drops them — reject up front (same
+    // config-shaped contract as the id-span check below). Rides the one
+    // 1-row driver agg already here, no extra pass.
+    require(mm.getLong(2) == mm.getLong(3),
+      s"packTokenShards: ${mm.getLong(2) - mm.getLong(3)} row(s) with null " +
+        "id — sequential packing needs a total id order; assign ids (or " +
+        "filter nulls) before packing")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = BigInt(hi) - BigInt(lo) + 1
     require(span <= (BigInt(1) << 62),

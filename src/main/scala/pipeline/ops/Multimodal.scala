@@ -3,7 +3,7 @@ package pipeline.ops
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import pipeline.expr.{ImageDimsExpr, PngEncodeExpr}
+import pipeline.expr.{ImageDimsExpr, PngEncodeExpr, WavHeaderExpr}
 
 /**
  * Multimodal-column plumbing: image/audio/video ride as opaque `binary`
@@ -14,8 +14,12 @@ import pipeline.expr.{ImageDimsExpr, PngEncodeExpr}
  *  - image: REAL — the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP ship with
  *    the JDK; header-only dimension reads, full decode for resize) via
  *    pipeline.expr.ImageExprs — no external jar;
- *  - audio/video: STUBBED behind [[Codecs]] with a deterministic fake (no
- *    audio/video libraries in this container) — swap for a real binding
+ *  - audio: REAL for WAV/AIFF/AU — the JDK's `javax.sound.sampled` parses
+ *    uncompressed-audio headers (rate/channels/frames) via
+ *    pipeline.expr.AudioExprs; compressed formats (mp3/ogg/aac) have no
+ *    JDK reader and fall through to not-ok;
+ *  - video: STUBBED behind [[Codecs]] with a deterministic fake (no video
+ *    libraries in this container or the JDK) — swap for a real binding
  *    (e.g. JavaCV) on a cluster; the seam and batch shape are unchanged.
  */
 object Multimodal {
@@ -28,7 +32,8 @@ object Multimodal {
                              width: Int, height: Int, duration_ms: Long, ok: Boolean)
 
   /** Per-kind codec dispatch: image = real JDK ImageIO header parse;
-    * audio/video = deterministic stub (documented seam). */
+    * audio = real JDK javax.sound.sampled header parse (WAV/AIFF/AU);
+    * video = deterministic stub (documented seam). */
   object Codecs {
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Long, Boolean) = {
       if (bytes == null || bytes.isEmpty) return (0, 0, 0L, false)
@@ -39,9 +44,17 @@ object Multimodal {
             case Some((w, h, _)) => (w, h, 0L, true)
             case None => (0, 0, 0L, false)
           }
-        case "audio" | "video" =>
+        case "audio" =>
+          // REAL: header-only javax.sound.sampled read; duration from
+          // frames/rate; compressed/unrecognized payloads → not ok
+          WavHeaderExpr.header(bytes) match {
+            case Some((rate, _, frames, _)) if rate > 0 =>
+              (0, 0, frames * 1000L / rate, true)
+            case _ => (0, 0, 0L, false)
+          }
+        case "video" =>
           // STUB — deterministic fake from a stable byte checksum; replace
-          // with a real media header parse on a cluster
+          // with a real media header parse (e.g. JavaCV) on a cluster
           var sum = 0L
           var i = 0
           while (i < bytes.length) { sum = (sum * 31 + (bytes(i) & 0xff)) & 0x7fffffff; i += 1 }
@@ -146,6 +159,11 @@ object Multimodal {
   /** Deterministic real-PNG asset fixture (pure function of the id). */
   def pngAsset(id: Long, w: Int, h: Int): MediaAsset =
     MediaAsset(id, "image", PngEncodeExpr.encode(w, h))
+
+  /** Deterministic real-WAV asset fixture (pure function of the id). */
+  def wavAsset(id: Long, rate: Int, channels: Int, frames: Int): MediaAsset =
+    MediaAsset(id, "audio",
+      pipeline.expr.WavEncodeExpr.encode(rate, channels, frames))
 
   /** Column-only binary feature extraction (no codec needed): sizes and a
     * magic-byte sniff — fully portable to the SQL oracle. */

@@ -121,9 +121,19 @@ object Batcher {
    * `shards` state tasks, each with its own dense `seq` (the Transport id
    * folds the shard in, [[EventFlush.batchId]]). State stays bounded at
    * batchSize−1 lines per key either way.
+   *
+   * `watermarkDelay` bounds tolerated cross-micro-batch DISORDER: the
+   * event-time stateful operator DROPS rows older than the watermark, so
+   * the default "0 seconds" is only safe for strictly ordered sources (a
+   * single mtime-ordered landing dir, a per-partition-ordered log tap) —
+   * any out-of-order event across micro-batches would be discarded without
+   * ever being buffered, pushed, or deadlettered. Disordered sources must
+   * pass a delay covering their disorder (the dedupDocs/sessionCounts
+   * default is "1 hour"); flush deadlines then lag by at most that delay.
    */
   def eventFlushes(routed: DataFrame, batchSize: Int, flushMs: Long,
-                   shards: Int = 1): Dataset[EventFlush] = {
+                   shards: Int = 1,
+                   watermarkDelay: String = "0 seconds"): Dataset[EventFlush] = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = routed.sparkSession
     import spark.implicits._
@@ -134,7 +144,7 @@ object Batcher {
         to_json(struct(payloadCols: _*)).as("line"))
       // xxhash64 is a physical concern here (shard routing), never a result
       .withColumn("shard", pmod(xxhash64(col("line")), lit(shards)).cast("int"))
-      .withWatermark("warc_ts", "0 seconds")
+      .withWatermark("warc_ts", watermarkDelay)
       .as[EvIn]
     in.groupByKey(e => (e.sink, e.shard))
       .flatMapGroupsWithState[EBState, EventFlush](

@@ -58,7 +58,13 @@ class CorpusRefineSpec extends AnyFunSuite {
       "HTTP://Example.com:80/a/b/?utm_source=x",
       "http://example.com/a/b",
       // non-default port is semantic and survives
-      "https://example.com:8443/x?id=1")
+      "https://example.com:8443/x?id=1",
+      // scheme-less / malformed: must fall back to the RAW value, never
+      // collapse to the constant "://" (distinct malformed URLs grouped
+      // into one dedup bucket would silently drop all but one document)
+      "example.com/no-scheme",
+      "not a url at all",
+      "://degenerate")
     val canon = urls.toDF("url")
       .select(CorpusRefine.canonicalizeUrl(col("url")).as("c"))
       .collect().map(_.getString(0))
@@ -67,6 +73,13 @@ class CorpusRefineSpec extends AnyFunSuite {
     assert(canon(3) == "https://example.com/Path/7?id=4")
     assert(canon(4) == "http://example.com/a/b" && canon(4) == canon(5))
     assert(canon(6) == "https://example.com:8443/x?id=1")
+    assert(canon(7) == "example.com/no-scheme")
+    assert(canon(8) == "not a url at all")
+    assert(canon(9) == "://degenerate")
+    // null stays null (propagates; excluded from dedup by the null group)
+    val nullOut = Seq((1L, null.asInstanceOf[String])).toDF("id", "url")
+      .select(CorpusRefine.canonicalizeUrl(col("url"))).head()
+    assert(nullOut.isNullAt(0))
   }
 
   test("urlDedup groups by canonical form and keeps the lowest id") {
@@ -133,6 +146,20 @@ class CorpusRefineSpec extends AnyFunSuite {
     val again = CorpusRefine.paragraphDedup(d, "doc_id", "text", k = 3)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(again == out)
+    // plan guard (the round-3 skew finding): NO window at all — the stats
+    // form keeps every row, so a rank window over the digest would sort a
+    // ubiquitous boilerplate paragraph's copies in ONE task
+    // (WindowGroupLimit can only prune rank-FILTERED windows). First
+    // occurrence is a map-side-combinable min(struct) aggregate instead,
+    // and the exploded frame is shared via ReusedExchange (one Generate).
+    val q = CorpusRefine.paragraphDedup(d.repartition(2), "doc_id", "text", 3)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    val fp = { val c = p.indexOf("== Initial Plan =="); if (c < 0) p else p.substring(0, c) }
+    assert(!fp.contains("windowspecdefinition"), s"stats form must not window:\n$fp")
+    assert("Generate".r.findAllIn(fp).size == 1, fp)
+    assert(fp.contains("ReusedExchange") || fp.contains("ReusedQueryStage"),
+      s"firsts aggregate must reuse the exploded barrier exchange:\n$fp")
   }
 
   test("paragraphDedupApply rewrites docs with only surviving chunks, in order") {
@@ -175,17 +202,28 @@ class CorpusRefineSpec extends AnyFunSuite {
       .filter(col("doc_id") === 1L && col("rnk") === 1L)
       .select("term", "score").head()
     assert(outDup.getString(0) == "rare" && outDup.getDouble(1) == 6.0)
-    // plan guard: the corpus is tokenized EXACTLY once (linear chain; a
-    // df-aggregate + join formulation re-explodes it three times because
-    // column pruning defeats subplan reuse)
+    // maxDocFreq cap: df("common") = 3 > 2 → common drops from RANKING
+    // entirely; per-doc top-k re-ranks over the surviving terms
+    val capped = CorpusRefine.tfidfTopK(d, "doc_id", "text", k = 2, maxDocFreq = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!capped.exists(_._2 == "common"), s"capped df must drop stop-terms: $capped")
+    assert(capped == Set((1L, "rare"), (2L, "beta"), (3L, "gamma")))
+    // plan guard (the round-3 scale-killer): df must NOT come from a
+    // term-partitioned window (a stop-term's full row set through one
+    // task); it comes from a map-side-combined groupBy(term) aggregate
+    // that REUSES the barrier exchange, so the corpus still explodes
+    // exactly once in the FINAL adaptive plan
     val q = CorpusRefine.tfidfTopK(d.repartition(2), "doc_id", "text", 2)
-    q.count()
+    q.collect()
     val p = q.queryExecution.executedPlan.toString
     val fp = { val c = p.indexOf("== Initial Plan =="); if (c < 0) p else p.substring(0, c) }
     assert("Generate explode".r.findAllIn(fp).size == 1, fp)
-    // (id,term) agg + term window + id window, plus countDistinct's tiny
-    // id-keyed exchange inside the scalar-N aggregate
-    assert("Exchange hashpartitioning".r.findAllIn(fp).size <= 4, fp)
+    val windowParts = "windowspecdefinition\\((\\w+)#".r.findAllMatchIn(fp)
+      .map(_.group(1)).toSet
+    assert(windowParts == Set("doc_id"),
+      s"only the per-doc top-k window may exist (got $windowParts):\n$fp")
+    assert(fp.contains("ReusedExchange") || fp.contains("ReusedQueryStage"),
+      s"df aggregate must reuse the pairs barrier exchange:\n$fp")
   }
 
   test("packTokenShards: greedy sequential packing via distributed prefix sum") {
@@ -215,6 +253,14 @@ class CorpusRefineSpec extends AnyFunSuite {
       .map(_.group(1)).toSeq
     assert(windows.exists(_.startsWith("_b")),
       s"local cumsum must partition by bucket:\n$plan")
+    // null ids would silently vanish through the min/max agg + offsets
+    // join — rejected up front with a config-shaped error instead
+    val withNull = d.unionByName(d.limit(1)
+      .select(lit(null).cast("long").as("doc_id"), col("n_tokens")))
+    val err = intercept[IllegalArgumentException] {
+      CorpusRefine.packTokenShards(withNull, "doc_id", "n_tokens", 50L, 10)
+    }
+    assert(err.getMessage.contains("null id"), err.getMessage)
   }
 
   test("decontaminate: shared-shingle threshold, benchmark broadcast, apply") {
