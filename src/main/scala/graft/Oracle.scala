@@ -385,19 +385,28 @@ object Oracle {
         |  AS BIGINT) AS payload_bytes
         |FROM documents""".stripMargin,
 
-    "q_lang_id" ->
-      """WITH scores AS (
+    "q_lang_id" -> {
+      // GENERATED from pipeline.ops.TextAnalysis.LangMarkers — the marker
+      // table is the dialect-shared spec (the grok pattern); both engines
+      // execute the same lists and the same first-wins tie order
+      val lm = pipeline.ops.TextAnalysis.LangMarkers
+      val scoreCols = lm.map { case (l, ms) =>
+        val inList = ms.map(m => s"'${m.replace("'", "''")}'").mkString(",")
+        s"CAST(list_sum(list_transform(w, t -> CASE WHEN t IN ($inList) THEN 1 ELSE 0 END)) AS BIGINT) AS s_$l"
+      }.mkString(",\n   ")
+      val g = s"greatest(${lm.map("s_" + _._1).mkString(", ")})"
+      val pick = lm.map { case (l, _) =>
+        s"WHEN s_$l = $g AND $g > 0 THEN '$l'"
+      }.mkString("\n      ")
+      s"""WITH scores AS (
         |  SELECT doc_id,
-        |   CAST(list_sum(list_transform(w, t -> CASE WHEN t IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS BIGINT) AS s_en,
-        |   CAST(list_sum(list_transform(w, t -> CASE WHEN t IN ('über','der','und','nicht') THEN 1 ELSE 0 END)) AS BIGINT) AS s_de,
-        |   CAST(list_sum(list_transform(w, t -> CASE WHEN t IN ('東京','の','は') THEN 1 ELSE 0 END)) AS BIGINT) AS s_ja
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+        |   $scoreCols
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents))
         |SELECT doc_id,
-        | CASE WHEN s_en = greatest(s_en, s_de, s_ja) AND greatest(s_en, s_de, s_ja) > 0 THEN 'en'
-        |      WHEN s_de = greatest(s_en, s_de, s_ja) AND greatest(s_en, s_de, s_ja) > 0 THEN 'de'
-        |      WHEN s_ja = greatest(s_en, s_de, s_ja) AND greatest(s_en, s_de, s_ja) > 0 THEN 'ja'
+        | CASE $pick
         |      ELSE 'und' END AS lang_pred
-        |FROM scores""".stripMargin,
+        |FROM scores""".stripMargin
+    },
 
     "q_quality" ->
       """WITH f AS (

@@ -4,78 +4,91 @@ import org.apache.spark.sql.functions._
 
 import pipeline.ops.Similarity
 
-/** Similarity-search scale benchmark: brute-force vs hyperplane-LSH top-k
-  * over N deterministic synthetic vectors (seeded clusters so LSH recall is
-  * meaningful). Prints one JSON line per variant incl. measured recall. */
+/**
+ * ANN recall/latency study: IVF (trained centroids, Lloyd iterations) and
+ * hyperplane-LSH against brute-force ground truth on a clustered synthetic
+ * embedding corpus — the empirical counterpart of the MinHash S-curve
+ * drill in DedupBench `--mode recall`. Prints one JSON line per setting:
+ *
+ *   {"bench":"ann_recall","algo":"ivf","rows":N,"nCells":..,"nProbe":..,
+ *    "maxIter":..,"recall_at_k":..,"fit_sec":..,"query_sec":..}
+ *
+ * Fixture: `--clusters` natural clusters in 64d — centers deterministic
+ * hash arithmetic in [-1,1], points = center + ±0.1 hash noise — so true
+ * nearest neighbors are (mostly) same-cluster and recall genuinely
+ * depends on probing the right cells. No RNG state anywhere: reruns are
+ * bit-identical.
+ */
 object AnnBench {
 
-  /** Deterministic 64-dim vector for row i: cluster centroid (i mod 32)
-    * + small per-row jitter, splitmix-derived — parallel, order-free. */
-  def vector(i: Long, dim: Int = 64): Array[Float] = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    val cluster = i % 32
-    Array.tabulate(dim) { d =>
-      val base = ((mix(cluster * 1315423911L + d) >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-      val jitter = ((mix(i * 6364136223846793005L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.1
-      (base + jitter).toFloat
-    }
-  }
+  val Dim = 64
 
   def main(args: Array[String]): Unit = {
     val conf = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val cores = conf.getOrElse("--cores", "32").toInt
     val n = conf.getOrElse("--rows", "1000000").toLong
-    val nQ = conf.getOrElse("--queries", "50").toInt
-    val k = 10
+    val nQueries = conf.getOrElse("--queries", "100").toInt
+    val k = conf.getOrElse("--k", "10").toInt
+    val nClusters = conf.getOrElse("--clusters", "200").toInt
+    val input = conf.getOrElse("--input", s"/tmp/graft-ann-$n")
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val corpus = spark.range(0, n, 1, 64)
-      .mapPartitions(_.map(i => (i.longValue, vector(i.longValue))))
-      .toDF("vec_id", "embedding").cache()
-    corpus.count() // materialize; generation excluded
-    val queries = corpus.filter(col("vec_id") < nQ).cache()
-    queries.count()
+    if (!new java.io.File(input).exists()) {
+      spark.range(0, n, 1, 64).map { i =>
+        val c = (i % nClusters).toInt
+        val v = Array.tabulate(Dim) { d =>
+          val ch = (c * 1103515245L + d * 12345L) & 0x7fffffffL
+          val center = (ch % 2000L) / 1000.0f - 1.0f
+          val nh = (i * 6364136223846793005L + d * 1442695040888963407L) >>> 33
+          center + ((nh % 200L) / 1000.0f - 0.1f)
+        }
+        (i, v)
+      }.toDF("id", "vec").write.mode("overwrite").parquet(input)
+    }
+    val corpus = spark.read.parquet(input)
+    val queries = corpus.filter(col("id") < nQueries)
+    corpus.limit(1000).count() // warm
 
-    def run(name: String)(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
-      val t0 = System.nanoTime()
-      val rows = f.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name","corpus":$n,"queries":$nQ,"k":$k,"sec":${sec}%.2f,"vecs_per_sec":${(n * nQ / sec).toLong}}""")
-      rows.toSet
+    def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "cid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+    val t0 = System.nanoTime()
+    val truth = topkMap(
+      Similarity.bruteTopK(corpus, queries, "id", "vec", k))
+    val bruteSec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"bench":"ann_recall","algo":"brute","rows":$n,"k":$k,"queries":$nQueries,"query_sec":$bruteSec%.2f}""")
+
+    def recallOf(got: Map[Long, Set[Long]]): Double = {
+      val per = truth.map { case (q, ts) =>
+        got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+      }
+      per.sum / per.size
     }
 
-    val brute = run("ann_brute")(
-      Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", k))
-    val lsh = run("ann_lsh_10planes")(
-      Similarity.lshTopK(corpus, queries, "vec_id", "embedding", k, planes = 10, dim = 64))
-    val recall = lsh.intersect(brute).size.toDouble / brute.size
-    println(f"""{"op":"ann_lsh_recall","recall":${recall}%.3f,"brute_pairs":${brute.size},"lsh_pairs":${lsh.size}}""")
-    val lsh4 = run("ann_lsh_10planes_4tables")(
-      Similarity.lshTopK(corpus, queries, "vec_id", "embedding", k,
-        planes = 10, dim = 64, tables = 4))
-    val recall4 = lsh4.intersect(brute).size.toDouble / brute.size
-    println(f"""{"op":"ann_lsh4_recall","recall":${recall4}%.3f}""")
-    // IVF: k-means cells (fit timed separately), narrow per-row argmin
-    // assignment, nProbe-cell probes
-    val tFit = System.nanoTime()
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val model = new KMeans().setK(64).setSeed(42L).setMaxIter(5)
-      .fit(corpus.select(array_to_vector(col("embedding").cast("array<double>")).as("features")))
-    val cents = model.clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-    println(f"""{"op":"ann_ivf_fit","cells":64,"sec":${(System.nanoTime() - tFit) / 1e9}%.2f}""")
-    val ivf = run("ann_ivf_64cells_8probe")(
-      Similarity.ivfTopKWithCentroids(corpus, queries, "vec_id", "embedding",
-        k, nProbe = 8, cents))
-    val recallIvf = ivf.intersect(brute).size.toDouble / brute.size
-    println(f"""{"op":"ann_ivf_recall","recall":${recallIvf}%.3f}""")
+    for (nCells <- Seq(64, 256); maxIter <- Seq(1, 10)) {
+      val f0 = System.nanoTime()
+      val cents = Similarity.fitCentroids(corpus, "id", "vec", nCells,
+        maxIter = maxIter, samplePercent = if (n > 200000) 5 else 100)
+      val fitSec = (System.nanoTime() - f0) / 1e9
+      for (nProbe <- Seq(1, 2, 4, 8)) {
+        val q0 = System.nanoTime()
+        val got = topkMap(Similarity.ivfTopKWithCentroids(
+          corpus, queries, "id", "vec", k, nProbe, cents))
+        val qSec = (System.nanoTime() - q0) / 1e9
+        println(f"""{"bench":"ann_recall","algo":"ivf","rows":$n,"k":$k,"nCells":$nCells,"maxIter":$maxIter,"nProbe":$nProbe,"recall_at_k":${recallOf(got)}%.3f,"fit_sec":$fitSec%.2f,"query_sec":$qSec%.2f}""")
+      }
+    }
+
+    for ((planes, tables) <- Seq((8, 1), (8, 4), (12, 4))) {
+      val q0 = System.nanoTime()
+      val got = topkMap(Similarity.lshTopK(
+        corpus, queries, "id", "vec", k, planes, Dim, tables))
+      val qSec = (System.nanoTime() - q0) / 1e9
+      println(f"""{"bench":"ann_recall","algo":"lsh","rows":$n,"k":$k,"planes":$planes,"tables":$tables,"recall_at_k":${recallOf(got)}%.3f,"query_sec":$qSec%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -80,6 +80,7 @@ object Streaming {
   def startDocs(docStream: DataFrame, outDir: String,
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val ledger = new io.Ledger(outDir)
+    val metrics = new streaming.StreamMetrics(outDir)
     val sinkNames = Pipeline.sinkNamesFor(stages.Route.defaultRules)
     docStream
       // streaming metrics surface: the same observe() counters as the batch
@@ -103,6 +104,13 @@ object Streaming {
           .parquet(s"$outDir/routed_stream/batch=$batchId")
         val counts = Pipeline.observedSinkCounts(obs, sinkNames).filter(_._2 > 0)
         ledger.commit(s"batch-$batchId", counts.values.sum, counts)
+        // per-sink rows into the queryable metrics table — the same
+        // numbers the ledger just committed (reconciliation is asserted
+        // in StreamingSpec); `input`/`late` rows come from the progress
+        // listener (streaming.StreamMetrics.attach)
+        counts.foreach { case (sink, n) =>
+          metrics.append(batchId, "routed_docs", "sink", sink, n)
+        }
         ()
       }
       .start()

@@ -136,9 +136,48 @@ object TransformCompiler {
         val c = opt("column").getOrElse("text")
         df => df.withColumn(c, substring(col(c), 1, maxChars))
 
+      case "dedup_near" =>
+        // the flagship LLM-pipeline chain on the config surface:
+        // MinHash+LSH candidate pairs → connected components (transitive
+        // closure) → drop every non-representative member. Keeper = the
+        // component's minimum hash id — deterministic across reruns (the
+        // dedup_exact contract), hash-canonical rather than min-url (the
+        // closure is computed over numeric node ids; a 64-bit id collision
+        // conflating two docs is ~N²/2⁶⁵ — negligible against MinHash's
+        // own false-positive band collisions).
+        val nGram = intOpt("nGram").getOrElse(3)
+        val bands = intOpt("bands").getOrElse(4)
+        val rows = intOpt("rowsPerBand").getOrElse(4)
+        val maxBucket = intOpt("maxBucketSize").getOrElse(10000)
+        if (nGram <= 0 || bands <= 0 || rows <= 0 || maxBucket <= 0)
+          err(s"nGram/bands/rowsPerBand/maxBucketSize must be positive, " +
+            s"got $nGram/$bands/$rows/$maxBucket")
+        df => {
+          // rows that cannot carry a signature (bypass-marked undecoded
+          // rows, null text, < nGram words → null sig handled inside
+          // minhashLsh) never enter the pair graph; their _nid is NULL so
+          // the left-anti can never alias them onto a dropped id (null
+          // join keys match nothing → kept) — the never-vanish guarantee
+          val participates = !bypass(df) && col("text").isNotNull
+          val withId = df.withColumn("_nid",
+            when(participates, xxhash64(col("url"),
+              col("warc_ts").cast("string"), col("source"), col("text"))))
+          val sigSrc = withId.filter(col("_nid").isNotNull)
+          // NOTE eager: connectedComponents iterates with driver-side
+          // convergence checks, so this transform RUNS Spark jobs at
+          // apply time — batch frames only (a streaming frame fails
+          // analysis inside the iteration, the dedup_exact behavior)
+          val pairs = pipeline.ops.Dedup.minhashLsh(
+            sigSrc, "_nid", "text", nGram, bands, rows, maxBucket)
+          val comps = pipeline.ops.Dedup.connectedComponents(pairs)
+          val drops = comps.filter(col("node") =!= col("comp"))
+            .select(col("node").as("_nid"))
+          withId.join(drops, Seq("_nid"), "left_anti").drop("_nid")
+        }
+
       case other =>
         err(s"unknown transform kind '$other' (known: pii_redact, " +
-          "dedup_exact, lang_allowlist, repetition_filter, " +
+          "dedup_exact, dedup_near, lang_allowlist, repetition_filter, " +
           "stratified_sample, truncate)")
     }
   }

@@ -46,6 +46,10 @@ object Functions {
       es => RepetitionStatsExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_image_dims",
       es => ImageDimsExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_audio_header",
+      es => WavHeaderExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_count",
+      es => BpeCountExpr(es.head), "built-in")
   }
 
   private def strLit(e: org.apache.spark.sql.catalyst.expressions.Expression,

@@ -131,17 +131,43 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
-  /** IVF with Spark ML k-means training for the centroids (model-dependent;
-    * pass explicit centroids for oracle-checkable determinism). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int, nProbe: Int,
-              seed: Long = 42L): DataFrame = {
+  /**
+   * Fit IVF centroids with Spark ML k-means (full Lloyd iterations) on a
+   * deterministic hash-sample of the corpus. Sampling is standard IVF
+   * practice — centroids need a REPRESENTATIVE sample, and fitting on all
+   * of a 10^12-row corpus would cost one full corpus pass per Lloyd
+   * iteration; the hash gate keeps the sample deterministic across reruns
+   * (no RNG state, the stratifiedSample pattern). Recall vs (nCells,
+   * nProbe, maxIter) is measured in pipeline.AnnBench → BASELINE.md.
+   */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int, maxIter: Int = 10, seed: Long = 42L,
+                   samplePercent: Int = 100): Seq[Seq[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(
+    require(samplePercent >= 1 && samplePercent <= 100,
+      s"samplePercent must be 1..100, got $samplePercent")
+    val base =
+      if (samplePercent >= 100) corpus
+      else corpus.filter(
+        pmod(hash32(col(idCol).cast("string")), lit(100L)) < samplePercent)
+    val train = base.select(array_to_vector(
       col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .fit(train)
+    model.clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+  }
+
+  /** IVF with k-means-trained centroids (model-dependent; pass explicit
+    * centroids via [[ivfTopKWithCentroids]] for oracle-checkable
+    * determinism). `maxIter` = Lloyd iterations; `samplePercent` bounds
+    * the training pass at corpus scale. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int, nProbe: Int,
+              seed: Long = 42L, maxIter: Int = 5,
+              samplePercent: Int = 100): DataFrame = {
+    val centroids = fitCentroids(corpus, idCol, vecCol, nCells,
+      maxIter, seed, samplePercent)
     ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, nProbe, centroids)
   }
 }

@@ -13,11 +13,40 @@ import Portable._
  */
 object TextAnalysis {
 
-  /** Marker vocabularies for the n-gram/stopword language heuristic. */
+  /** Marker vocabularies for the stopword language heuristic: ~10
+    * languages × top-20 stopwords. Order is the deterministic tie-break
+    * (first listed wins) — mirrored exactly by the generated oracle SQL
+    * (graft.Oracle derives q_lang_id from THIS table, so the two engines
+    * cannot drift). Cross-language collisions (fr/es/pt "de", "la"; en/de
+    * "in") are resolved by the argmax over full 20-word lists, which is
+    * the point of breadth over the round-3 3×4 demo vocabulary. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and"),
-    "de" -> Seq("über", "der", "und", "nicht"),
-    "ja" -> Seq("東京", "の", "は"))
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "was", "that",
+      "it", "for", "on", "with", "as", "they", "at", "be", "this", "have",
+      "from"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit",
+      "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein",
+      "eine", "als", "über"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du",
+      "une", "que", "est", "pour", "qui", "dans", "par", "plus", "pas",
+      "au", "sur"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del",
+      "las", "por", "para", "con", "una", "su", "al", "es", "lo", "como",
+      "más"),
+    "it" -> Seq("il", "di", "che", "la", "e", "per", "una", "sono", "con",
+      "non", "si", "da", "come", "anche", "lo", "ma", "le", "se", "nel",
+      "alla"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "para",
+      "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "in", "is", "dat", "op",
+      "te", "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als",
+      "dan"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "быть", "он", "с", "что", "а",
+      "по", "это", "она", "этот", "к", "но", "они", "мы", "как", "из"),
+    "ja" -> Seq("の", "に", "は", "を", "た", "が", "で", "て", "と", "し",
+      "れ", "さ", "ある", "いる", "も", "する", "から", "な", "こと", "東京"),
+    "zh" -> Seq("的", "一", "是", "在", "不", "了", "有", "和", "人", "这",
+      "中", "大", "为", "上", "个", "国", "我", "以", "要", "他"))
 
   /** NON-EMPTY tokens: whitespace split minus the empty fragments Spark's
     * split emits for blank/whitespace-bordered text — a newline-only doc
@@ -50,10 +79,19 @@ object TextAnalysis {
     * non-space whitespace — see [[tokenArr]]). */
   def tokenCount(textCol: Column): Column = size(tokenArr(textCol))
 
-  /** BPE-ish subword token estimate: count of matches of a GPT-2-style
-    * pretokenizer regex (word pieces, numbers, punctuation runs). */
+  /** BPE-ish subword token ESTIMATE: count of matches of a GPT-2-style
+    * pretokenizer regex (word pieces, numbers, punctuation runs). Cheap and
+    * SQL-portable; see [[bpeTokenCountReal]] for the real tokenizer. */
   def bpeTokenCount(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+
+  /** REAL merge-table BPE token count (pipeline.expr.Bpe): the same
+    * pretokenizer, then learned merges applied in rank order — the number
+    * a token-budget packer or corpus pricing should actually use (the
+    * regex estimate miscounts code/UTF-8-heavy text). Deterministic: the
+    * merge table derives from an embedded fixture corpus at class load. */
+  def bpeTokenCountReal(textCol: Column): Column =
+    pipeline.expr.Bpe.bpeCount(textCol)
 
   /** Quality features: lengths, token stats, punctuation + stopword ratios.
     * Ratios are int/int double divisions — bit-deterministic. */

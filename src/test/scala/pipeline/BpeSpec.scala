@@ -1,0 +1,107 @@
+package pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import pipeline.expr.Bpe
+
+/** Real merge-table BPE: learning pinned on a hand-computable corpus,
+  * encoding cross-checked against an independently written reference
+  * applier on adversarial strings, and the Spark expression against the
+  * driver-side computation. */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local(4, 4, "bpe-spec")
+  private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
+
+  /** Independent reference applier: scan the merge list in rank order,
+    * apply the first merge with an occurrence (leftmost), restart from
+    * rank 0 — the textbook "lowest-ranked applicable merge first"
+    * definition via different code than Bpe.encodeLen's best-pair scan. */
+  private def refEncodeLen(token: String, merges: Vector[(String, String)]): Int = {
+    var syms = token.map(_.toString).toVector
+    var applied = true
+    while (applied && syms.length > 1) {
+      applied = false
+      var r = 0
+      while (r < merges.length && !applied) {
+        val (l, rr) = merges(r)
+        val at = syms.indices.dropRight(1)
+          .find(i => syms(i) == l && syms(i + 1) == rr)
+        at match {
+          case Some(i) =>
+            syms = (syms.take(i) :+ (l + rr)) ++ syms.drop(i + 2)
+            applied = true
+          case None => r += 1
+        }
+      }
+    }
+    syms.length
+  }
+
+  test("learn: hand-computed merges on a tiny corpus, deterministic ties") {
+    // words: ab x3, abc x1 → (a,b)=4, (b,c)=1; only (a,b) reaches the
+    // min-frequency-2 bar; after merging, (ab,c)=1 → stop
+    assert(Bpe.learn("ab ab ab abc", 10) == Vector(("a", "b")))
+    // low x2, lowest x2: (l,o)=4 (o,w)=4 → tie breaks lexicographically:
+    // (l,o) < (o,w). then (lo,w)=4 wins; then (low,e)=2/(e,s)=2/(s,t)=2
+    // → (e,s) first, then (es,t)=2, then (low,est)=2
+    assert(Bpe.learn("low low lowest lowest", 10) == Vector(
+      ("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("low", "est")))
+    // rerun-stable (pure function)
+    assert(Bpe.learn(Bpe.TrainingCorpus, 1024) == Bpe.Merges)
+    assert(Bpe.Merges.size > 100, s"fixture corpus learned ${Bpe.Merges.size} merges")
+  }
+
+  test("encode == independent reference applier on adversarial strings") {
+    val adversarial = Seq(
+      "the", "thee", "theethe", "a", "", "aaaaaaaaaaaaaaaaaaaaaaaa",
+      "request", "requests", "requesting", "xqzkjv", "ab123cd",
+      "def f(x:Int)=x*2//comment", "東京タワー123ビル", "über straße",
+      "http://a.example/path?q=1&r=2", "  spaced   out  ",
+      "1234567890", "!!!???...", "mixedCASEword", "s", "es", "est",
+      Bpe.TrainingCorpus.take(200))
+    adversarial.foreach { s =>
+      val mine = Bpe.countTokens(s)
+      val ref = Bpe.PretokenRe.findAllIn(s)
+        .map(t => refEncodeLen(t, Bpe.Merges)).sum
+      assert(mine == ref, s"mismatch on '$s': $mine vs $ref")
+      // structural bounds: at least one symbol per pretoken, at most one
+      // per character
+      val pretoks = Bpe.PretokenRe.findAllIn(s).toSeq
+      assert(mine >= pretoks.size && mine <= pretoks.map(_.length).sum)
+    }
+    // merges actually fire: common English compresses below char count
+    assert(Bpe.countTokens("the") == 1)
+    assert(Bpe.countTokens("xqzkjv") > 1) // unseen letters stay split
+  }
+
+  test("Spark expression == driver-side count; null-safe; estimate alongside") {
+    val s = sc
+    import s.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "SELECT count(*) FROM lineitem WHERE l_quantity > 42"),
+      (3L, "東京 の は 123"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+    val d = texts.toDF("id", "text")
+    val out = d.select(col("id"),
+      pipeline.ops.TextAnalysis.bpeTokenCountReal(col("text")).as("real"),
+      pipeline.ops.TextAnalysis.bpeTokenCount(col("text")).as("est"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    texts.foreach { case (id, t) =>
+      if (t == null) assert(out(id) == null)
+      else assert(out(id) == Bpe.countTokens(t), s"row $id")
+    }
+    // merges compress English well below its character count
+    assert(out(1L).asInstanceOf[Int] < "the quick brown fox jumps over the lazy dog".length)
+    // SQL surface parity
+    pipeline.expr.Functions.registerAll(s)
+    d.createOrReplaceTempView("bpe_t")
+    val viaSql = s.sql("SELECT id, graft_bpe_count(text) AS real FROM bpe_t")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(viaSql == out.map { case (k, v) => k -> v })
+  }
+}

@@ -277,6 +277,54 @@ class ConfigRunnerSpec extends AnyFunSuite {
       ex.getMessage.toLowerCase.contains("streaming"))
   }
 
+  test("dedup_near transform: minhash→components→apply chain == programmatic") {
+    val s = sc
+    import s.implicits._
+    // the three-copy cluster uses IDENTICAL text (jaccard 1 → every band
+    // collides → candidate pairs are GUARANTEED, no recall roll of the
+    // dice in a correctness test; the LSH recall curve itself is
+    // OpsSpec/BASELINE territory). u4 is unrelated; u5 has no text.
+    val clusterText = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      ("u1.example/a", clusterText),
+      ("u2.example/b", clusterText),
+      ("u3.example/c", clusterText),
+      ("u4.example/d", "completely different words entirely unrelated content"),
+      ("u5.example/e", null.asInstanceOf[String]))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src"))
+    val stage = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("dedup_near",
+        Map("nGram" -> "3", "bands" -> "2", "rowsPerBand" -> "4")))
+    val urls = stage(d).select("url").collect().map(_.getString(0)).toSet
+    // exactly ONE cluster member survives; the unrelated doc and the
+    // null-text row pass through untouched (never-vanish)
+    assert(Set("u1.example/a", "u2.example/b", "u3.example/c")
+      .intersect(urls).size == 1, s"got $urls")
+    assert(urls.contains("u4.example/d") && urls.contains("u5.example/e"))
+    // rerun-stable (hash-canonical keeper, no RNG)
+    assert(stage(d).select("url").collect().map(_.getString(0)).toSet == urls)
+    // parity with the programmatic minhashLsh → connectedComponents → anti
+    val withId = d.withColumn("_nid", xxhash64(col("url"),
+      col("warc_ts").cast("string"), col("source"), col("text")))
+    val pairs = pipeline.ops.Dedup.minhashLsh(
+      withId.filter(col("text").isNotNull), "_nid", "text", 3, 2, 4, 10000)
+    val comps = pipeline.ops.Dedup.connectedComponents(pairs)
+    val expect = withId.join(
+      comps.filter(col("node") =!= col("comp")).select(col("node").as("_nid")),
+      Seq("_nid"), "left_anti").select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(urls == expect)
+    // malformed options fail at compile with a config-shaped error
+    val e = intercept[IllegalArgumentException] {
+      pipeline.config.TransformCompiler.one(
+        pipeline.config.TransformSpec("dedup_near", Map("bands" -> "0")))
+    }
+    assert(e.getMessage.contains("dedup_near"))
+  }
+
   test("conflicting grok schemas across sources fail with a config-shaped error") {
     val s = sc
     val spec = pipeline.config.PipelineSpec(

@@ -236,6 +236,31 @@ class OpsSpec extends AnyFunSuite {
     assert(same.getInt(1) == 320 && same.getInt(2) == 200)
   }
 
+  test("lang-id breadth: 10-language seeded fixture classifies >=90%") {
+    val s = sc
+    import s.implicits._
+    // 20 deterministic sentences per language: 4 rotating markers from the
+    // language's own stopword list + 3 non-marker noise words — realistic
+    // enough that cross-language stopword collisions (fr/es/pt 'de') must
+    // be resolved by the argmax, not by trivially disjoint vocabularies
+    val rows = for {
+      (lang, ms) <- TextAnalysis.LangMarkers
+      i <- 0 until 20
+    } yield {
+      val picks = Seq(ms(i % ms.size), ms((i + 3) % ms.size),
+        ms((i + 7) % ms.size), ms((i + 11) % ms.size))
+      (lang, (picks ++ Seq(s"zz${i}q", s"xx$lang$i", s"word$i")).mkString(" "))
+    }
+    val out = rows.toDF("lang_true", "text")
+      .withColumn("pred", TextAnalysis.langId(col("text")))
+    val acc = out.filter(col("pred") === col("lang_true")).count().toDouble / rows.size
+    val confusions = out.filter(col("pred") =!= col("lang_true"))
+      .groupBy("lang_true", "pred").count().collect().toSeq
+    assert(acc >= 0.9, s"accuracy $acc; confusion: $confusions")
+    // every sentence carries markers — nothing may fall through to 'und'
+    assert(out.filter(col("pred") === "und").count() == 0)
+  }
+
   test("lang-id, quality, token counts are deterministic and sane") {
     val s = sc
     import s.implicits._

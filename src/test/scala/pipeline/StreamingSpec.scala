@@ -39,6 +39,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(ledger.values.sum == ref.values.sum)
   }
 
+  test("stream metrics table reconciles with the ledger (listener + sinks)") {
+    val s = sc
+    val landing = Files.createTempDirectory("graft-metrics-landing").toString
+    val out = Files.createTempDirectory("graft-metrics-out").toString
+    Webtext.df(s, 1200, 4).write.mode("overwrite").parquet(landing)
+
+    val listener = pipeline.streaming.StreamMetrics.attach(s, out)
+    try {
+      val q = Streaming.start(s, landing, out)
+      q.awaitTermination()
+      // listener delivery is ASYNC (event bus): await the input rows
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def inputRows() = pipeline.streaming.StreamMetrics.load(s, out)
+        .filter(col("kind") === "input")
+      while (inputRows().count() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val m = pipeline.streaming.StreamMetrics.load(s, out)
+      // input: observed events_in across micro-batches == landed fixture rows
+      val totalIn = m.filter(col("kind") === "input")
+        .agg(sum(col("rows"))).head().getLong(0)
+      assert(totalIn == 1200L, s"observed input $totalIn")
+      // sink rows: exactly the ledger's per-sink totals (same numbers,
+      // two surfaces — queryable table vs lineage trail)
+      val perSink = m.filter(col("kind") === "sink").groupBy("name")
+        .agg(sum(col("rows")).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ledger = new Ledger(out).committedRows()
+      assert(perSink.values.sum == ledger.values.sum,
+        s"metrics $perSink vs ledger $ledger")
+      assert(perSink.nonEmpty && perSink.values.forall(_ > 0))
+      // stateless query: late-drop counter exists and is zero
+      val late = m.filter(col("kind") === "late")
+        .agg(sum(col("rows"))).head().getLong(0)
+      assert(late == 0L, s"stateless stream dropped $late rows")
+      // and per-batch: every metrics sink batch has a ledger twin
+      val mBatches = m.filter(col("kind") === "sink")
+        .select("batch_id").distinct().count()
+      assert(mBatches.toInt == ledger.size,
+        s"$mBatches metric batches vs ${ledger.size} ledger commits")
+    } finally s.streams.removeListener(listener)
+  }
+
+  test("stream metrics: watermark-dropped rows surface in the late counter") {
+    val s = sc
+    import s.implicits._
+    val landing = Files.createTempDirectory("graft-late-landing").toString
+    val out = Files.createTempDirectory("graft-late-out").toString
+    val ck = Files.createTempDirectory("graft-late-ck").toString
+    // file 1 carries a FUTURE event, so the watermark jumps past every
+    // later file's rows; maxFilesPerTrigger=1 processes the files as
+    // separate micro-batches in mtime order. The watermark LAGS one
+    // micro-batch (computed at batch commit, applied next batch), so file
+    // 2's late row is still admitted — file 3's late row is the one the
+    // aggregation drops and counts. (A windowed AGGREGATION late-filters;
+    // dropDuplicatesWithinWatermark does NOT — its watermark only evicts
+    // state, measured in round 4.)
+    def doc(id: Long, ts: String) = (s"u$id", java.sql.Timestamp.valueOf(ts),
+      Array[Byte](), s"text $id", "en")
+    val cols = Seq("url", "warc_ts", "html", "text", "lang")
+    Seq(doc(1, "2026-01-01 00:00:00"), doc(2, "2026-01-03 00:00:00"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100) // distinct mtimes → deterministic trigger order
+    Seq(doc(3, "2026-01-01 00:30:00")).toDF(cols: _*)
+      .coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Seq(doc(4, "2026-01-01 00:40:00")).toDF(cols: _*)
+      .coalesce(1).write.mode("append").parquet(landing)
+
+    val listener = pipeline.streaming.StreamMetrics.attach(s, out)
+    try {
+      val stream = s.readStream.schema(pipeline.model.Schemas.webtext)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = Streaming.windowedCounts(stream)
+        .writeStream.format("memory").queryName("late_probe")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def lateSum() = pipeline.streaming.StreamMetrics.load(s, out)
+        .filter(col("kind") === "late").agg(coalesce(sum(col("rows")), lit(0L)))
+        .head().getLong(0)
+      while (lateSum() == 0 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(lateSum() >= 1,
+        "the 2026-01-01T00:30 row behind the 2026-01-03 watermark must be " +
+          "counted as dropped-by-watermark in the metrics table")
+    } finally s.streams.removeListener(listener)
+  }
+
   test("checkpoint resume: new files after a stop are processed exactly once") {
     val s = sc
     val landing = Files.createTempDirectory("graft-landing2").toString
