@@ -58,7 +58,7 @@ object Oracle {
       |  lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
       |  regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$$', 1) AS rest
       | FROM nf),
-      |canon AS (SELECT doc_id, CASE WHEN scheme = '' THEN url ELSE scheme || '://' ||
+      |canon AS (SELECT doc_id, CASE WHEN scheme = '' OR hostport = '' THEN url ELSE scheme || '://' ||
       |  regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
       |                      WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
       |                      ELSE hostport END, '^www\\.', '') ||

@@ -30,12 +30,16 @@ object AnnBench {
     val nQueries = conf.getOrElse("--queries", "100").toInt
     val k = conf.getOrElse("--k", "10").toInt
     val nClusters = conf.getOrElse("--clusters", "200").toInt
-    val input = conf.getOrElse("--input", s"/tmp/graft-ann-$n")
+    // default fixture path keys on EVERY generation parameter (a --clusters
+    // change must not silently reuse a differently-clustered corpus), and
+    // reuse requires the _SUCCESS marker (a killed run's partial directory
+    // must regenerate, not feed the bench a truncated corpus)
+    val input = conf.getOrElse("--input", s"/tmp/graft-ann-$n-c$nClusters")
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (!new java.io.File(input).exists()) {
+    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
       spark.range(0, n, 1, 64).map { i =>
         val c = (i % nClusters).toInt
         val v = Array.tabulate(Dim) { d =>

@@ -82,6 +82,14 @@ object Streaming {
     val ledger = new io.Ledger(outDir)
     val metrics = new streaming.StreamMetrics(outDir)
     val sinkNames = Pipeline.sinkNamesFor(stages.Route.defaultRules)
+    // query name: the metrics table's `query` column must correlate the
+    // listener's input/late rows (keyed by progress.name) with the
+    // foreachBatch sink rows. Derived from outDir so it is (a) STABLE
+    // across restarts — a re-executed micro-batch after a crash must hit
+    // the same idempotence key in StreamMetrics, which a random name would
+    // defeat — and (b) distinct for concurrent streams, which cannot
+    // legally share one outDir anyway (same checkpointLocation).
+    val qname = f"routed_docs_${outDir.hashCode & 0x7fffffff}%08x"
     docStream
       // streaming metrics surface: the same observe() counters as the batch
       // path, reported per micro-batch in StreamingQueryProgress
@@ -89,6 +97,7 @@ object Streaming {
         count(lit(1)).as("events_in"),
         max(octet_length(col("text"))).as("max_event_bytes"))
       .writeStream
+      .queryName(qname)
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -109,7 +118,7 @@ object Streaming {
         // in StreamingSpec); `input`/`late` rows come from the progress
         // listener (streaming.StreamMetrics.attach)
         counts.foreach { case (sink, n) =>
-          metrics.append(batchId, "routed_docs", "sink", sink, n)
+          metrics.append(batchId, qname, "sink", sink, n)
         }
         ()
       }

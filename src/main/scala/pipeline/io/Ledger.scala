@@ -1,7 +1,7 @@
 package pipeline.io
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -70,18 +70,12 @@ final class Ledger(dir: String) {
   /** Append a commit record. Atomic enough for a single driver (POSIX
     * O_APPEND of one small line); Iceberg snapshot commit on a cluster. */
   def commit(unit: String, rows: Long, metrics: Map[String, Long] = Map.empty): Unit = {
-    // General checkpoint API: escape interpolated strings (a quote/backslash/
-    // control char in a unit name must not corrupt the ledger line or
-    // mis-parse under UnitRe on resume).
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    // General checkpoint API: escaping via the shared Jsonl helper (a
+    // quote/backslash/control char in a unit name must not corrupt the
+    // ledger line or mis-parse under UnitRe on resume).
+    import Jsonl.esc
     val extra = metrics.map { case (k, v) => s""","${esc(k)}":$v""" }.mkString
-    val line = s"""{"unit":"${esc(unit)}","rows":$rows,"ts":"${java.time.Instant.now()}"$extra}""" + "\n"
-    Files.write(file, line.getBytes(UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    Jsonl.appendLine(file,
+      s"""{"unit":"${esc(unit)}","rows":$rows,"ts":"${java.time.Instant.now()}"$extra}""")
   }
 }

@@ -69,12 +69,14 @@ object CorpusRefine {
     val r2 = regexp_replace(r1, "\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*&", "?")
     val r3 = regexp_replace(r2, "\\?(utm_[A-Za-z0-9_]*|fbclid)=[^&]*$", "")
     val r4 = regexp_replace(regexp_replace(r3, "/+\\?", "?"), "/+$", "")
-    // scheme-less/malformed input (regexp_extract misses → ""): fall back
-    // to the RAW value rather than canonicalizing everything to the
-    // constant "://" — which would collapse ALL malformed URLs into ONE
-    // dedup group and silently drop all but one of them in the left-semi
-    // apply pattern (qCorpusAssemble)
-    when(scheme === "", u).otherwise(concat(scheme, lit("://"), host, r4))
+    // malformed input — scheme-less ("example.com/x") OR empty-host
+    // ("http:///a", where the scheme regex matches but the hostport regex
+    // cannot): fall back to the RAW value rather than canonicalizing
+    // everything to a constant ("://" / "http://") — which would collapse
+    // ALL malformed URLs into ONE dedup group and silently drop all but
+    // one of them in the left-semi apply pattern (qCorpusAssemble)
+    when(scheme === "" || hostport === "", u)
+      .otherwise(concat(scheme, lit("://"), host, r4))
   }
 
   /** URL-keyed exact dedup: canonicalize, group, keep the lowest id. ONE

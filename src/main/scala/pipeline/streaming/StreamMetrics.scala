@@ -1,7 +1,7 @@
 package pipeline.streaming
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQueryListener
@@ -33,20 +33,32 @@ import org.apache.spark.sql.types._
  */
 final class StreamMetrics(dir: String) {
 
+  import pipeline.io.Jsonl.esc
+
   private val file: Path = Paths.get(dir, "stream_metrics.jsonl")
   Files.createDirectories(file.getParent)
 
-  def append(batchId: Long, query: String, kind: String, name: String,
-             rows: Long): Unit = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
+  // IDEMPOTENT appends: a foreachBatch re-execution after a mid-batch
+  // failure (or a listener re-emission after restart) must not
+  // double-count a (batch, query, kind, name) row — the ledger dedups by
+  // unit name on re-read, the metrics table dedups at append. Existing
+  // keys reload from the file on construction (restart-safe); the
+  // in-memory set is bounded by metric rows, a driver-side handful.
+  private val KeyRe =
+    """"batch_id":(\d+),"query":"((?:[^"\\]|\\.)*)","kind":"((?:[^"\\]|\\.)*)","name":"((?:[^"\\]|\\.)*)"""".r
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+  if (Files.exists(file))
+    Files.readAllLines(file, UTF_8).forEach { l =>
+      KeyRe.findFirstMatchIn(l).foreach(m =>
+        seen += s"${m.group(1)}|${m.group(2)}|${m.group(3)}|${m.group(4)}")
     }
-    val line = s"""{"batch_id":$batchId,"query":"${esc(query)}","kind":"${esc(kind)}","name":"${esc(name)}","rows":$rows,"ts":"${java.time.Instant.now()}"}""" + "\n"
-    Files.write(file, line.getBytes(UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  def append(batchId: Long, query: String, kind: String, name: String,
+             rows: Long): Unit = synchronized {
+    val key = s"$batchId|${esc(query)}|${esc(kind)}|${esc(name)}"
+    if (seen.add(key))
+      pipeline.io.Jsonl.appendLine(file,
+        s"""{"batch_id":$batchId,"query":"${esc(query)}","kind":"${esc(kind)}","name":"${esc(name)}","rows":$rows,"ts":"${java.time.Instant.now()}"}""")
   }
 
   def path: String = file.toString

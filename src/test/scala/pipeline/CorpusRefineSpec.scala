@@ -64,7 +64,11 @@ class CorpusRefineSpec extends AnyFunSuite {
       // into one dedup bucket would silently drop all but one document)
       "example.com/no-scheme",
       "not a url at all",
-      "://degenerate")
+      "://degenerate",
+      // scheme present but host EMPTY: the hostport regex misses — must
+      // also fall back raw (two such URLs must not share canon "http://")
+      "http:///a",
+      "http:///b")
     val canon = urls.toDF("url")
       .select(CorpusRefine.canonicalizeUrl(col("url")).as("c"))
       .collect().map(_.getString(0))
@@ -76,6 +80,7 @@ class CorpusRefineSpec extends AnyFunSuite {
     assert(canon(7) == "example.com/no-scheme")
     assert(canon(8) == "not a url at all")
     assert(canon(9) == "://degenerate")
+    assert(canon(10) == "http:///a" && canon(11) == "http:///b")
     // null stays null (propagates; excluded from dedup by the null group)
     val nullOut = Seq((1L, null.asInstanceOf[String])).toDF("id", "url")
       .select(CorpusRefine.canonicalizeUrl(col("url"))).head()

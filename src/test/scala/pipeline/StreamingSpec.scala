@@ -78,6 +78,21 @@ class StreamingSpec extends AnyFunSuite {
         .select("batch_id").distinct().count()
       assert(mBatches.toInt == ledger.size,
         s"$mBatches metric batches vs ${ledger.size} ledger commits")
+      // correlation: listener (input) and foreachBatch (sink) rows carry
+      // the SAME query label — per-query input-vs-delivered accounting
+      val qIn = m.filter(col("kind") === "input")
+        .select("query").distinct().collect().map(_.getString(0)).toSet
+      val qSink = m.filter(col("kind") === "sink")
+        .select("query").distinct().collect().map(_.getString(0)).toSet
+      assert(qIn == qSink && qIn.size == 1, s"query labels: in=$qIn sink=$qSink")
+      // idempotence: a re-executed micro-batch (same batch/query/kind/name
+      // key) must not double-count — same instance AND a restart-fresh one
+      val sm = new pipeline.streaming.StreamMetrics(out)
+      val before = pipeline.streaming.StreamMetrics.load(s, out).count()
+      sm.append(0L, qIn.head, "sink", "s3", 999L) // dup key, dropped
+      new pipeline.streaming.StreamMetrics(out)
+        .append(0L, qIn.head, "sink", "s3", 999L) // restart twin, dropped
+      assert(pipeline.streaming.StreamMetrics.load(s, out).count() == before)
     } finally s.streams.removeListener(listener)
   }
 
@@ -89,12 +104,13 @@ class StreamingSpec extends AnyFunSuite {
     val ck = Files.createTempDirectory("graft-late-ck").toString
     // file 1 carries a FUTURE event, so the watermark jumps past every
     // later file's rows; maxFilesPerTrigger=1 processes the files as
-    // separate micro-batches in mtime order. The watermark LAGS one
-    // micro-batch (computed at batch commit, applied next batch), so file
-    // 2's late row is still admitted — file 3's late row is the one the
-    // aggregation drops and counts. (A windowed AGGREGATION late-filters;
-    // dropDuplicatesWithinWatermark does NOT — its watermark only evicts
-    // state, measured in round 4.)
+    // separate micro-batches in mtime order. Measured (round 4): the
+    // late-filter watermark LAGS one micro-batch — file 2's late row is
+    // still ADMITTED in batch 1 (its window count includes it), and file
+    // 3's late row is the one dropped and counted in batch 2 (×2 rows
+    // after the route fan-out, so lateSum is 2). A windowed AGGREGATION
+    // late-filters; dropDuplicatesWithinWatermark does NOT — its
+    // watermark only evicts state (also measured).
     def doc(id: Long, ts: String) = (s"u$id", java.sql.Timestamp.valueOf(ts),
       Array[Byte](), s"text $id", "en")
     val cols = Seq("url", "warc_ts", "html", "text", "lang")
