@@ -29,6 +29,12 @@ import pipeline.ops.Portable
  *                              copies of a url share one verdict; null-url
  *                              rows key by text+timestamp); `rates`
  *                              = "en:50,de:30", `default` = percent
+ *  - `quality_filter`        — drop docs with qualityScore < `minScore`
+ *                              (null text carries no signal and is kept)
+ *  - `dedup_near`            — MinHash+LSH → connected components →
+ *                              drop non-representatives (`nGram`, `bands`,
+ *                              `rowsPerBand`, `maxBucketSize`); BATCH
+ *                              frames only (the closure iterates)
  *  - `truncate`              — cap `column` (default text) at `maxChars`
  *
  * UNDECODED rows bypass the filtering stages: when the caller marks them
@@ -136,6 +142,24 @@ object TransformCompiler {
         val c = opt("column").getOrElse("text")
         df => df.withColumn(c, substring(col(c), 1, maxChars))
 
+      case "quality_filter" =>
+        // drop docs below a composite quality score (stopword presence,
+        // sane token length, low punctuation — TextAnalysis.qualityScore,
+        // [0,1]); null text carries no quality signal and is KEPT (the
+        // repetition_filter rule: a gate evaluating null must never eat a
+        // row the route stage guarantees to account)
+        val minScore = opt("minScore")
+          .map(v => v.toDoubleOption.getOrElse(err(s"bad minScore '$v'")))
+          .getOrElse(err("needs 'minScore'"))
+        if (minScore < 0.0 || minScore > 1.0)
+          err(s"minScore must be in [0,1], got $minScore")
+        df => {
+          val q = pipeline.ops.TextAnalysis.qualityScore(col("text"))
+          df.withColumn("_q", q)
+            .filter(bypass(df) || col("_q").isNull || col("_q") >= minScore)
+            .drop("_q")
+        }
+
       case "dedup_near" =>
         // the flagship LLM-pipeline chain on the config surface:
         // MinHash+LSH candidate pairs → connected components (transitive
@@ -177,8 +201,8 @@ object TransformCompiler {
 
       case other =>
         err(s"unknown transform kind '$other' (known: pii_redact, " +
-          "dedup_exact, dedup_near, lang_allowlist, repetition_filter, " +
-          "stratified_sample, truncate)")
+          "dedup_exact, dedup_near, lang_allowlist, quality_filter, " +
+          "repetition_filter, stratified_sample, truncate)")
     }
   }
 }

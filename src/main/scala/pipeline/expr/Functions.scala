@@ -50,6 +50,8 @@ object Functions {
       es => WavHeaderExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_count",
       es => BpeCountExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_lang_id",
+      es => LangIdExpr(es.head), "built-in")
   }
 
   private def strLit(e: org.apache.spark.sql.catalyst.expressions.Expression,

@@ -241,6 +241,63 @@ case class FingerprintExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(child = c)
 }
 
+/** Stopword-marker language ID — same value as TextAnalysis.langIdHof
+  * (the HOF twin, kept for the generated-SQL-oracle parity spec): argmax
+  * of marker hits over TextAnalysis.LangMarkers, first-listed language
+  * wins ties, "und" when nothing hits. ONE pass per row: each token looks
+  * up a per-word language BITMASK (a word may mark several languages —
+  * nl/fr/es/pt share stopwords) and increments every set language's
+  * count — vs the interpreted HOF's #langs × #markers membership tests
+  * per token (measured 3.4× slower at 10×20 on the driver bench; the 4th
+  * instance of the native-over-HOF rule). */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  @transient private lazy val langs: Array[UTF8String] =
+    pipeline.ops.TextAnalysis.LangMarkers.map(l => UTF8String.fromString(l._1)).toArray
+  @transient private lazy val masks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    pipeline.ops.TextAnalysis.LangMarkers.zipWithIndex.foreach { case ((_, ws), i) =>
+      ws.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue) | (1 << i)))
+      }
+    }
+    m
+  }
+  @transient private lazy val Und = UTF8String.fromString("und")
+
+  def compute(input: Any): Any = {
+    val words = PortableHash.tokens(input.asInstanceOf[UTF8String].toString)
+    val counts = new Array[Long](langs.length)
+    var i = 0
+    while (i < words.length) {
+      val mk = masks.get(words(i))
+      if (mk != null) {
+        var b = mk.intValue
+        while (b != 0) {
+          counts(java.lang.Integer.numberOfTrailingZeros(b)) += 1
+          b &= b - 1
+        }
+      }
+      i += 1
+    }
+    var best = 0L
+    var j = 0
+    while (j < counts.length) { if (counts(j) > best) best = counts(j); j += 1 }
+    if (best == 0L) Und
+    else {
+      var k = 0
+      while (counts(k) != best) k += 1
+      langs(k)
+    }
+  }
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
+  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
+}
+
 /** Random-hyperplane LSH bucket for a float vector — same value as
   * Similarity.hyperplaneSig. Plane weights (±1) are precomputed once per
   * (planes, dim) from the same portable-hash formula. */
@@ -348,6 +405,7 @@ object PortableExprs {
     c(MinHashSigExpr(e(text), nGram, numHashes))
   def simhash(text: Column, bits: Int): Column = c(SimHashExpr(e(text), bits))
   def fingerprint(text: Column): Column = c(FingerprintExpr(e(text)))
+  def langId(text: Column): Column = c(LangIdExpr(e(text)))
   def repetitionStats(text: Column): Column = c(RepetitionStatsExpr(e(text)))
   def hyperplaneSig(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     c(HyperplaneSigExpr(e(vec), planes, dim, planeOffset))

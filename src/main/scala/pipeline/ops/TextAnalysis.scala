@@ -64,8 +64,19 @@ object TextAnalysis {
   /**
    * Language-ID heuristic: argmax of marker-token hits, deterministic
    * tie-break by language order (first wins), "und" when no marker hits.
+   * Native one-pass expression (per-word bitmask lookup) — the HOF twin
+   * [[langIdHof]] stays as the oracle-mirrored parity surface.
    */
-  def langId(textCol: Column): Column = {
+  def langId(textCol: Column): Column =
+    // null text → "und": the HOF's when-chain and the oracle's CASE both
+    // fall through to 'und' on null scores; the null-safe native expr
+    // returns null there, so coalesce restores the shared semantics
+    coalesce(pipeline.expr.PortableExprs.langId(textCol), lit("und"))
+
+  /** HOF twin of [[langId]] — the generated DuckDB oracle mirrors THIS
+    * formulation symbol-for-symbol (per-language IN-list sums, greatest,
+    * first-wins CASE); spec-pinned bit-equal to the native expression. */
+  def langIdHof(textCol: Column): Column = {
     val toks = tokenArr(textCol)
     val scores = LangMarkers.map { case (l, ms) => l -> markerHits(toks, ms) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))

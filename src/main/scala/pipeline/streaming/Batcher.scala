@@ -122,14 +122,18 @@ object Batcher {
    * folds the shard in, [[EventFlush.batchId]]). State stays bounded at
    * batchSize−1 lines per key either way.
    *
-   * `watermarkDelay` bounds tolerated cross-micro-batch DISORDER: the
-   * event-time stateful operator DROPS rows older than the watermark, so
-   * the default "0 seconds" is only safe for strictly ordered sources (a
-   * single mtime-ordered landing dir, a per-partition-ordered log tap) —
-   * any out-of-order event across micro-batches would be discarded without
-   * ever being buffered, pushed, or deadlettered. Disordered sources must
-   * pass a delay covering their disorder (the dedupDocs/sessionCounts
-   * default is "1 hour"); flush deadlines then lag by at most that delay.
+   * `watermarkDelay` tunes DEADLINE timing under cross-micro-batch
+   * disorder. Measured (Spark 4.1.2, StreamingSpec): flatMapGroupsWithState
+   * has NO late-input filter — out-of-order events are always admitted and
+   * buffered, at any delay (unlike windowed aggregations, which drop and
+   * count late rows; the watermark here only drives time/timeout flushes).
+   * With the "0 seconds" default and disorder, the watermark rides the max
+   * event time seen, so a buffer opened by an out-of-order event can
+   * time-flush IMMEDIATELY (earlier than flushFreq after its own arrival —
+   * undersized batches, never data loss; the latency bound "flush at most
+   * flushFreq after buffering" still holds). A delay covering the source's
+   * disorder restores full batches at the cost of deadlines lagging by up
+   * to that delay.
    */
   def eventFlushes(routed: DataFrame, batchSize: Int, flushMs: Long,
                    shards: Int = 1,

@@ -191,6 +191,26 @@ class ConfigRunnerSpec extends AnyFunSuite {
       "C=\"--opt=\"\"a b\"\"\"")).count() == 1)
   }
 
+  test("journald MATCHES runs before maxLineLenKB truncation (journalctl semantics)") {
+    val s = sc
+    import s.implicits._
+    // MARKER's value extends past the 1 KB cap; the journalctl MATCH
+    // compares the FULL value — truncate-then-match would silently drop
+    // the row (round-3 ADVICE finding)
+    val longVal = "a" * 1030 + "zzz"
+    val raw = Seq(
+      s"""{"url":"u1","MARKER":"$longVal"}""",
+      s"""{"url":"u2","MARKER":"other"}""").toDF("value")
+    val src = pipeline.config.SourceSpec("jd", "journald",
+      maxLineLenKB = Some(1), query = Some(s"MARKER=$longVal"))
+    val docs = ConfigRunner.fromSource(src, raw)
+    assert(docs.count() == 1, "match must see the un-truncated value")
+    assert(docs.filter(try_element_at(col("entries"), lit("url")) === "u1").count() == 1)
+    // the size cap still applies to the delivered record AFTER matching
+    assert(docs.select(length(try_element_at(col("entries"), lit("MARKER"))))
+      .head().getInt(0) == 1024)
+  }
+
   test("config transforms clean the corpus before routing (ordered, end-to-end)") {
     val s = sc
     val spec = pipeline.config.PipelineSpec(
@@ -275,6 +295,30 @@ class ConfigRunnerSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.toLowerCase.contains("window") ||
       ex.getMessage.toLowerCase.contains("streaming"))
+  }
+
+  test("quality_filter transform: score gate, null text kept, bad config rejected") {
+    val s = sc
+    import s.implicits._
+    val d = Seq(
+      ("u1", "the quick brown fox and the lazy dog ran over the hill"),
+      ("u2", "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"), // pure punctuation
+      ("u3", null.asInstanceOf[String]))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src"))
+    val stage = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("quality_filter", Map("minScore" -> "0.5")))
+    val urls = stage(d).select("url").collect().map(_.getString(0)).toSet
+    assert(urls.contains("u1"), "clean English must pass the gate")
+    assert(!urls.contains("u2"), "punctuation soup must drop")
+    assert(urls.contains("u3"), "null text carries no signal and is kept")
+    val e = intercept[IllegalArgumentException] {
+      pipeline.config.TransformCompiler.one(
+        pipeline.config.TransformSpec("quality_filter", Map("minScore" -> "1.5")))
+    }
+    assert(e.getMessage.contains("minScore"))
   }
 
   test("dedup_near transform: minhash→components→apply chain == programmatic") {

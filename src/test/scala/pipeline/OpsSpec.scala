@@ -259,6 +259,16 @@ class OpsSpec extends AnyFunSuite {
     assert(acc >= 0.9, s"accuracy $acc; confusion: $confusions")
     // every sentence carries markers — nothing may fall through to 'und'
     assert(out.filter(col("pred") === "und").count() == 0)
+    // native expression == HOF twin (the oracle-mirrored formulation),
+    // bit for bit, incl. tie/empty/null/collision rows
+    val edge = Seq("", "   ", "de la le en", "zzz", "the der le el il o de",
+      null.asInstanceOf[String]).map(("??", _))
+    val par = (rows ++ edge).toDF("lang_true", "text")
+      .select(TextAnalysis.langId(col("text")).as("nat"),
+        TextAnalysis.langIdHof(col("text")).as("hof"))
+    assert(par.filter(
+      !(col("nat") <=> col("hof"))).count() == 0,
+      par.filter(!(col("nat") <=> col("hof"))).collect().mkString(","))
   }
 
   test("lang-id, quality, token counts are deterministic and sane") {

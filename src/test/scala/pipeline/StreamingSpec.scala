@@ -144,6 +144,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally s.streams.removeListener(listener)
   }
 
+  test("event batcher watermarkDelay: out-of-order events admitted at ANY delay") {
+    val s = sc
+    import s.implicits._
+    // file 1 = one FUTURE sentinel (jumps the watermark); file 2 = 200
+    // ordinary docs, now BEHIND the watermark when their micro-batch runs.
+    // batchSize=1 flushes every admitted event by count immediately, so
+    // delivered line counts measure ADMISSION only (no deadline coupling).
+    val landing = Files.createTempDirectory("graft-wmd-landing").toString
+    Webtext.dataset(s, 1, 1)
+      .map(d => d.copy(url = d.url + "?s",
+        warc_ts = new java.sql.Timestamp(d.warc_ts.getTime + 365L * 86400000L)))
+      .write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Webtext.dataset(s, 200, 1).write.mode("append").parquet(landing)
+
+    def run(delay: String): Long = {
+      val out = Files.createTempDirectory(s"graft-wmd-out").toString
+      val stream = s.readStream.schema(pipeline.model.Schemas.webtext)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = Streaming.startPushFlushes(Pipeline.transform(stream), out,
+        batchSize = 1, flushMs = 60 * 60000L,
+        transport = new io.Push.LocalFileTransport(s"$out/pushed"),
+        watermarkDelay = delay)
+      q.awaitTermination()
+      val pushed = new java.io.File(s"$out/pushed")
+      if (!pushed.exists) 0L
+      else pushed.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+        .map(f => scala.io.Source.fromFile(f, "UTF-8").getLines().size.toLong).sum
+    }
+    val withDelay = run("400 days")
+    val zeroDelay = run("0 seconds")
+    // every timestamped routed row is admitted under a covering delay
+    val expected = RefNormalizer.routedCounts((0L until 200L).iterator.map(Webtext.row))
+    val timestamped = expected.filter(_._1 != "deadletter").values.sum
+    assert(withDelay >= timestamped,
+      s"covering delay delivered $withDelay of >= $timestamped routed lines")
+    // MEASURED (round 4): flatMapGroupsWithState has NO late-input filter —
+    // admission is delay-invariant (the round-3 review's data-loss premise
+    // does not hold on Spark 4.1.2; the watermark only drives time/timeout
+    // deadlines, see Batcher scaladoc). Pin that so a Spark upgrade that
+    // starts dropping late FMGWS input fails loudly here.
+    assert(zeroDelay == withDelay,
+      s"0s delay delivered $zeroDelay vs $withDelay — admission must not depend on the delay")
+  }
+
   test("checkpoint resume: new files after a stop are processed exactly once") {
     val s = sc
     val landing = Files.createTempDirectory("graft-landing2").toString
