@@ -422,6 +422,38 @@ object Oracle {
         | CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
         |FROM f""".stripMargin,
 
+    "q_quality_score" ->
+      // mirrors TextAnalysis.qualityScore term for term, same association
+      // order — (stopOk + lenOk) + punctOk, then /3.0 — so the IEEE
+      // doubles are bit-identical; list_sum of an EMPTY filtered list is
+      // NULL in DuckDB (Spark's aggregate init gives 0) but every NULL
+      // case is guarded by the n_tokens/n_chars > 0 branches. NULL text:
+      // Spark's when(null > 0).otherwise(0.0) ratios are 0.0 (not null),
+      // so the score is the deterministic constant 0.5 — the CASE WHEN
+      // NULL branches here fall to ELSE 0.0 identically
+      """WITH f AS (
+        |  SELECT doc_id,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+        |   CAST(length(regexp_replace(text, '[A-Za-z0-9\s\x{0080}-\x{FFFF}]', '', 'g')) AS BIGINT) AS n_punct,
+        |   CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |     t -> CASE WHEN t IN ('the','a','of','and') THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop,
+        |   CAST(coalesce(list_sum(list_transform(
+        |     list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != ''),
+        |     t -> length(t))), 0) AS BIGINT) AS sum_tok_len,
+        |   CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |   CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+        |   CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+        |   CASE WHEN n_tokens > 0 THEN CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_tok_len
+        |  FROM f),
+        |sc AS (SELECT doc_id,
+        |   (least(stopword_ratio * 5.0, 1.0)
+        |    + CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+        |    + (1.0 - least(punct_ratio * 4.0, 1.0))) / 3.0 AS q_score
+        |  FROM r)
+        |SELECT doc_id, q_score, q_score >= 0.5 AS passes_gate FROM sc""".stripMargin,
+
     "q_token_count" ->
       """SELECT doc_id,
         | CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),

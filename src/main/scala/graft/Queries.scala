@@ -326,6 +326,20 @@ object Queries {
       f.getField("stopword_ratio").as("stopword_ratio"))
   }
 
+  /** Composite quality score (stopword presence ∘ sane token length ∘ low
+    * punctuation) + the pass/fail gate a corpus-cleaning config would use
+    * — every term is int/int division or IEEE constant arithmetic in a
+    * fixed association order, so the doubles are bit-identical across
+    * engines (the q1_agg determinism rule). Null text scores the
+    * deterministic constant 0.5 on BOTH engines (the ratio defaults fall
+    * to 0.0, never null — which is why quality_filter gates on
+    * text.isNull explicitly, not on a null score). */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q_score"))
+      .select(col("doc_id"), col("q_score"),
+        (col("q_score") >= 0.5).as("passes_gate"))
+
   def qTokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),

@@ -55,6 +55,7 @@ object SparkEntry {
     "q_journald_fields" -> (Queries.qJournaldFields _),
     "q_lang_id" -> (Queries.qLangId _),
     "q_quality" -> (Queries.qQuality _),
+    "q_quality_score" -> (Queries.qQualityScore _),
     "q_token_count" -> (Queries.qTokenCount _),
     "q_fingerprint" -> (Queries.qFingerprint _),
     "q_pii_redact" -> (Queries.qPiiRedact _),

@@ -145,9 +145,11 @@ object TransformCompiler {
       case "quality_filter" =>
         // drop docs below a composite quality score (stopword presence,
         // sane token length, low punctuation — TextAnalysis.qualityScore,
-        // [0,1]); null text carries no quality signal and is KEPT (the
-        // repetition_filter rule: a gate evaluating null must never eat a
-        // row the route stage guarantees to account)
+        // [0,1]); null text carries no quality signal and is KEPT — gated
+        // on text.isNull EXPLICITLY, because the score's when/otherwise
+        // ratio defaults make a null-text doc score the constant 0.5
+        // rather than null (the repetition_filter rule: a no-signal row
+        // must never be eaten by a quality gate)
         val minScore = opt("minScore")
           .map(v => v.toDoubleOption.getOrElse(err(s"bad minScore '$v'")))
           .getOrElse(err("needs 'minScore'"))
@@ -156,7 +158,7 @@ object TransformCompiler {
         df => {
           val q = pipeline.ops.TextAnalysis.qualityScore(col("text"))
           df.withColumn("_q", q)
-            .filter(bypass(df) || col("_q").isNull || col("_q") >= minScore)
+            .filter(bypass(df) || col("text").isNull || col("_q") >= minScore)
             .drop("_q")
         }
 

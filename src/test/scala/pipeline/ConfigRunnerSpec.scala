@@ -314,6 +314,12 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(urls.contains("u1"), "clean English must pass the gate")
     assert(!urls.contains("u2"), "punctuation soup must drop")
     assert(urls.contains("u3"), "null text carries no signal and is kept")
+    // null text scores the CONSTANT 0.5 (ratio defaults), so the keep must
+    // come from the explicit text.isNull gate — pin it above that score
+    val strict = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("quality_filter", Map("minScore" -> "0.9")))
+    assert(strict(d).select("url").collect().map(_.getString(0)).toSet
+      .contains("u3"), "null text must survive a gate above 0.5")
     val e = intercept[IllegalArgumentException] {
       pipeline.config.TransformCompiler.one(
         pipeline.config.TransformSpec("quality_filter", Map("minScore" -> "1.5")))

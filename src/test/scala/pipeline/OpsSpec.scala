@@ -192,6 +192,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF trained path: fitCentroids deterministic across calls and samples") {
+    val s = sc
+    import s.implicits._
+    val emb = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i % 5 + d * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    // same seed + same deterministic hash sample → identical centroids
+    val c1 = pipeline.ops.Similarity.fitCentroids(
+      emb, "vec_id", "embedding", nCells = 4, maxIter = 5, samplePercent = 50)
+    val c2 = pipeline.ops.Similarity.fitCentroids(
+      emb, "vec_id", "embedding", nCells = 4, maxIter = 5, samplePercent = 50)
+    assert(c1 == c2, "rerun must reproduce the centroid set bit-for-bit")
+    assert(c1.size == 4 && c1.forall(_.size == 8))
+    // the trained end-to-end path returns k rows per query like the
+    // explicit-centroid form
+    val got = pipeline.ops.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nCells = 4, nProbe = 2, maxIter = 5, samplePercent = 50)
+      .groupBy("qid").count().collect().map(_.getLong(1))
+    assert(got.length == 3 && got.forall(_ == 5L))
+    // bad sample bound rejected
+    intercept[IllegalArgumentException] {
+      pipeline.ops.Similarity.fitCentroids(emb, "vec_id", "embedding", 4,
+        samplePercent = 0)
+    }
+  }
+
   test("multimodal decode: REAL JDK image+audio codecs + stub video + frames") {
     val s = sc
     import s.implicits._
