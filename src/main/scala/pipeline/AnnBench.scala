@@ -32,14 +32,20 @@ object AnnBench {
     val nClusters = conf.getOrElse("--clusters", "200").toInt
     // default fixture path keys on EVERY generation parameter (a --clusters
     // change must not silently reuse a differently-clustered corpus), and
-    // reuse requires the _SUCCESS marker (a killed run's partial directory
-    // must regenerate, not feed the bench a truncated corpus)
-    val input = conf.getOrElse("--input", s"/tmp/graft-ann-$n-c$nClusters")
+    // DEFAULT-path reuse requires the _SUCCESS marker (a killed run's
+    // partial directory must regenerate, not feed the bench a truncated
+    // corpus). An EXPLICIT --input is the user's corpus: never regenerate
+    // over it (rsync'd copies legitimately lack _SUCCESS; overwriting
+    // would destroy real data), just require it to exist.
+    val explicitInput = conf.get("--input")
+    val input = explicitInput.getOrElse(s"/tmp/graft-ann-$n-c$nClusters")
+    explicitInput.foreach(p => require(new java.io.File(p).exists(),
+      s"--input $p does not exist"))
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+    if (explicitInput.isEmpty && !new java.io.File(s"$input/_SUCCESS").exists()) {
       spark.range(0, n, 1, 64).map { i =>
         val c = (i % nClusters).toInt
         val v = Array.tabulate(Dim) { d =>

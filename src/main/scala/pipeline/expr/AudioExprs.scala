@@ -27,14 +27,14 @@ object AudioExprs {
     * real RIFF/WAVE bytes whose samples are a pure function of (frame,
     * channel) — bit-stable fixtures, like [[ImageExprs.pngEncode]]. */
   def wavEncode(sampleRate: Column, channels: Column, frames: Column): Column =
-    column(WavEncodeExpr(
-      expression(sampleRate), expression(channels), expression(frames)))
+    column(WavEncodeExpr(expression(sampleRate.cast("int")),
+      expression(channels.cast("int")), expression(frames.cast("int"))))
 
   /** Real header decode: audio bytes → struct(sample_rate int, channels
     * int, frames long, format string); null when no JDK reader recognizes
     * the bytes (corrupt/compressed payloads — deadletter material). */
   def wavHeader(bytes: Column): Column =
-    column(WavHeaderExpr(expression(bytes)))
+    column(WavHeaderExpr(expression(bytes.cast("binary"))))
 }
 
 /** (sampleRate, channels, frames) → deterministic PCM WAV via the JDK

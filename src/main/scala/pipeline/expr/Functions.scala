@@ -46,12 +46,17 @@ object Functions {
       es => RepetitionStatsExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_image_dims",
       es => ImageDimsExpr(es.head), "built-in")
+    // explicit input casts: these natives read UTF8String/byte[] directly
+    // (no ExpectsInputTypes — AbstractDataType is private[sql] in Spark 4),
+    // so SQL callers get the same coercion the Column seams apply
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{BinaryType, StringType}
     reg.createOrReplaceTempFunction("graft_audio_header",
-      es => WavHeaderExpr(es.head), "built-in")
+      es => WavHeaderExpr(Cast(es.head, BinaryType)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_count",
-      es => BpeCountExpr(es.head), "built-in")
+      es => BpeCountExpr(Cast(es.head, StringType)), "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
-      es => LangIdExpr(es.head), "built-in")
+      es => LangIdExpr(Cast(es.head, StringType)), "built-in")
   }
 
   private def strLit(e: org.apache.spark.sql.catalyst.expressions.Expression,

@@ -256,8 +256,12 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
   @transient private lazy val langs: Array[UTF8String] =
     pipeline.ops.TextAnalysis.LangMarkers.map(l => UTF8String.fromString(l._1)).toArray
   @transient private lazy val masks: java.util.HashMap[String, Integer] = {
+    val lm = pipeline.ops.TextAnalysis.LangMarkers
+    // Int bitmask: language 32 would alias bit 0 (1 << 32 wraps) and
+    // silently corrupt counts — fail loudly if the spec table outgrows it
+    require(lm.size <= 32, s"LangIdExpr bitmask supports <= 32 languages, got ${lm.size}")
     val m = new java.util.HashMap[String, Integer]()
-    pipeline.ops.TextAnalysis.LangMarkers.zipWithIndex.foreach { case ((_, ws), i) =>
+    lm.zipWithIndex.foreach { case ((_, ws), i) =>
       ws.foreach { w =>
         val prev = m.get(w)
         m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue) | (1 << i)))
@@ -405,7 +409,9 @@ object PortableExprs {
     c(MinHashSigExpr(e(text), nGram, numHashes))
   def simhash(text: Column, bits: Int): Column = c(SimHashExpr(e(text), bits))
   def fingerprint(text: Column): Column = c(FingerprintExpr(e(text)))
-  def langId(text: Column): Column = c(LangIdExpr(e(text)))
+  // cast: the HOF twin coerced non-string columns through trim/split's
+  // StringType expectations; the native expr restores that at the seam
+  def langId(text: Column): Column = c(LangIdExpr(e(text.cast("string"))))
   def repetitionStats(text: Column): Column = c(RepetitionStatsExpr(e(text)))
   def hyperplaneSig(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     c(HyperplaneSigExpr(e(vec), planes, dim, planeOffset))

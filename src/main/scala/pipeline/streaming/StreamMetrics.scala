@@ -38,27 +38,34 @@ final class StreamMetrics(dir: String) {
   private val file: Path = Paths.get(dir, "stream_metrics.jsonl")
   Files.createDirectories(file.getParent)
 
-  // IDEMPOTENT appends: a foreachBatch re-execution after a mid-batch
-  // failure (or a listener re-emission after restart) must not
-  // double-count a (batch, query, kind, name) row — the ledger dedups by
-  // unit name on re-read, the metrics table dedups at append. Existing
-  // keys reload from the file on construction (restart-safe); the
-  // in-memory set is bounded by metric rows, a driver-side handful.
-  private val KeyRe =
-    """"batch_id":(\d+),"query":"((?:[^"\\]|\\.)*)","kind":"((?:[^"\\]|\\.)*)","name":"((?:[^"\\]|\\.)*)"""".r
-  private val seen = scala.collection.mutable.HashSet.empty[String]
-  if (Files.exists(file))
-    Files.readAllLines(file, UTF_8).forEach { l =>
-      KeyRe.findFirstMatchIn(l).foreach(m =>
-        seen += s"${m.group(1)}|${m.group(2)}|${m.group(3)}|${m.group(4)}")
+  // LAST-WINS semantics, the Ledger contract: every append carries a
+  // strictly increasing `seq` (resumed from the file on construction, so
+  // restarts keep ascending) and [[StreamMetrics.load]] keeps only the
+  // highest-seq row per (batch_id, query, kind, name). A foreachBatch
+  // re-execution after a mid-batch failure, a listener re-emission after
+  // restart, or a full reprocess after a deleted checkpoint (batch ids
+  // restarting at 0) each just supersede the older row — exactly how
+  // Ledger.committedRows' unit-keyed toMap resolves its duplicates, so
+  // the two surfaces cannot diverge on replay. (A write-side first-wins
+  // dedup — the first round-4 design — silently dropped every row of a
+  // reprocessed outDir and could collide distinct keys via its joined
+  // string key.)
+  private val SeqRe = """"seq":(\d+)""".r
+  private var seq: Long =
+    if (!Files.exists(file)) 0L
+    else {
+      var mx = -1L
+      Files.readAllLines(file, UTF_8).forEach { l =>
+        SeqRe.findFirstMatchIn(l).foreach(m => mx = math.max(mx, m.group(1).toLong))
+      }
+      mx + 1
     }
 
   def append(batchId: Long, query: String, kind: String, name: String,
              rows: Long): Unit = synchronized {
-    val key = s"$batchId|${esc(query)}|${esc(kind)}|${esc(name)}"
-    if (seen.add(key))
-      pipeline.io.Jsonl.appendLine(file,
-        s"""{"batch_id":$batchId,"query":"${esc(query)}","kind":"${esc(kind)}","name":"${esc(name)}","rows":$rows,"ts":"${java.time.Instant.now()}"}""")
+    pipeline.io.Jsonl.appendLine(file,
+      s"""{"seq":$seq,"batch_id":$batchId,"query":"${esc(query)}","kind":"${esc(kind)}","name":"${esc(name)}","rows":$rows,"ts":"${java.time.Instant.now()}"}""")
+    seq += 1
   }
 
   def path: String = file.toString
@@ -67,6 +74,7 @@ final class StreamMetrics(dir: String) {
 object StreamMetrics {
 
   val schema: StructType = StructType(Seq(
+    StructField("seq", LongType),
     StructField("batch_id", LongType),
     StructField("query", StringType),
     StructField("kind", StringType),
@@ -74,12 +82,22 @@ object StreamMetrics {
     StructField("rows", LongType),
     StructField("ts", StringType)))
 
-  /** The metrics table as a DataFrame (empty-safe). */
+  /** The metrics table as a DataFrame (empty-safe): highest-seq row per
+    * (batch_id, query, kind, name) — replayed/reprocessed rows supersede
+    * their predecessors (last-wins, the Ledger contract). */
   def load(spark: SparkSession, dir: String): DataFrame = {
     val p = Paths.get(dir, "stream_metrics.jsonl")
     if (!Files.exists(p))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).json(p.toString)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("batch_id", "query", "kind", "name")
+        .orderBy(org.apache.spark.sql.functions.col("seq").desc)
+      spark.read.schema(schema).json(p.toString)
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(org.apache.spark.sql.functions.col("_rn") === 1)
+        .drop("_rn")
+    }
   }
 
   /**

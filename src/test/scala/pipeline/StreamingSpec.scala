@@ -85,14 +85,20 @@ class StreamingSpec extends AnyFunSuite {
       val qSink = m.filter(col("kind") === "sink")
         .select("query").distinct().collect().map(_.getString(0)).toSet
       assert(qIn == qSink && qIn.size == 1, s"query labels: in=$qIn sink=$qSink")
-      // idempotence: a re-executed micro-batch (same batch/query/kind/name
-      // key) must not double-count — same instance AND a restart-fresh one
+      // replay semantics: a re-executed micro-batch (same batch/query/
+      // kind/name key) must not double-count — the replayed row SUPERSEDES
+      // the old one (last-wins by seq, the Ledger contract), from the same
+      // instance AND from a restart-fresh one
       val sm = new pipeline.streaming.StreamMetrics(out)
       val before = pipeline.streaming.StreamMetrics.load(s, out).count()
-      sm.append(0L, qIn.head, "sink", "s3", 999L) // dup key, dropped
+      sm.append(0L, qIn.head, "sink", "s3", 999L) // replay: supersedes
       new pipeline.streaming.StreamMetrics(out)
-        .append(0L, qIn.head, "sink", "s3", 999L) // restart twin, dropped
-      assert(pipeline.streaming.StreamMetrics.load(s, out).count() == before)
+        .append(0L, qIn.head, "sink", "s3", 1000L) // restart twin: supersedes
+      val after = pipeline.streaming.StreamMetrics.load(s, out)
+      assert(after.count() == before, "replays must not add rows")
+      assert(after.filter(col("batch_id") === 0 && col("kind") === "sink" &&
+        col("name") === "s3").head().getAs[Long]("rows") == 1000L,
+        "the latest replay's value must win")
     } finally s.streams.removeListener(listener)
   }
 
