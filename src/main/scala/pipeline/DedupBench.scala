@@ -89,6 +89,12 @@ object DedupBench {
         CorpusRefine.paragraphDedup(cdocs, "id", "text", k = 8).count())
       time("stratified_sample")(CorpusRefine.stratifiedSample(
         cdocs, "id", "lang", Map("en" -> 50, "de" -> 30), 10).count())
+      time("bpe_count")(cdocs
+        .select(pipeline.ops.TextAnalysis.bpeTokenCountReal(col("text")).as("n"))
+        .filter(col("n") > 0).count())
+      time("lang_id_native")(cdocs
+        .select(pipeline.ops.TextAnalysis.langId(col("text")).as("l"))
+        .filter(col("l") =!= "zz").count())
       spark.stop()
       return
     }

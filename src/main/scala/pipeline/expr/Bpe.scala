@@ -145,12 +145,58 @@ object Bpe {
     syms.size
   }
 
-  /** Total BPE token count for a text (sum over pretokens). */
+  /** Per-thread LRU memo of pretoken → encoded length: word frequency is
+    * Zipfian on real text, so most pretokens repeat constantly and the
+    * O(len²) merge loop re-derives the same answer (measured 16.8s → see
+    * BASELINE.md for the 1M-doc before/after). ThreadLocal because
+    * expression instances can be shared across task threads in local
+    * mode; memoizing a pure function keeps results bit-identical. */
+  private val cacheLocal =
+    ThreadLocal.withInitial[java.util.LinkedHashMap[String, Integer]](() =>
+      new java.util.LinkedHashMap[String, Integer](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Integer]): Boolean = size > 65536
+      })
+
+  // the pretokenizer's three character classes, exactly as the regex
+  // defines them: Java \s is ASCII-only ([ \t\n\f\r]); everything
+  // neither \s nor alnum (incl. unicode letters/spaces) is a punct run
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isAl(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  @inline private def isDg(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** Total BPE token count for a text (sum over pretokens). Hand-rolled
+    * scanner over the SAME three classes as [[PretokenRe]] (spec-pinned
+    * equal on adversarial strings): the Scala MatchIterator dominated the
+    * 1M-doc drill (regex scan ≈ the whole 16.8s; see BASELINE.md). */
   def countTokens(text: String): Int = {
     val ranks = Ranks
+    val cache = cacheLocal.get()
     var total = 0
-    val it = PretokenRe.findAllIn(text)
-    while (it.hasNext) total += encodeLen(it.next(), ranks)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      val c = text.charAt(i)
+      if (isWs(c)) i += 1
+      else {
+        val start = i
+        if (isAl(c)) { i += 1; while (i < len && isAl(text.charAt(i))) i += 1 }
+        else if (isDg(c)) { i += 1; while (i < len && isDg(text.charAt(i))) i += 1 }
+        else {
+          i += 1
+          while (i < len && { val x = text.charAt(i); !isWs(x) && !isAl(x) && !isDg(x) }) i += 1
+        }
+        val tok = text.substring(start, i)
+        var n = cache.get(tok)
+        if (n == null) {
+          n = Integer.valueOf(encodeLen(tok, ranks))
+          cache.put(tok, n)
+        }
+        total += n.intValue
+      }
+    }
     total
   }
 

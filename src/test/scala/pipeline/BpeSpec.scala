@@ -60,6 +60,11 @@ class BpeSpec extends AnyFunSuite {
       "def f(x:Int)=x*2//comment", "東京タワー123ビル", "über straße",
       "http://a.example/path?q=1&r=2", "  spaced   out  ",
       "1234567890", "!!!???...", "mixedCASEword", "s", "es", "est",
+      // scanner-vs-regex class edges: Java \s is ASCII-only, so NBSP and
+      // other unicode spaces belong to the PUNCT class, tab/VT/FF/CR/LF
+      // separate; the hand-rolled scanner must agree with PretokenRe
+      "a b", "tab\tand\u000Bvt\fff\rcr\nnl", "x　y",
+      "end\t", "\n\nstart", "mix3d4lph4num3ric",
       Bpe.TrainingCorpus.take(200))
     adversarial.foreach { s =>
       val mine = Bpe.countTokens(s)
