@@ -39,8 +39,11 @@ object AnnBench {
     // would destroy real data), just require it to exist.
     val explicitInput = conf.get("--input")
     val input = explicitInput.getOrElse(s"/tmp/graft-ann-$n-c$nClusters")
-    explicitInput.foreach(p => require(new java.io.File(p).exists(),
-      s"--input $p does not exist"))
+    // the local-existence precheck only applies to scheme-less local paths;
+    // s3a://, hdfs:// etc. go straight to spark.read (java.io.File cannot
+    // see them and would reject a perfectly readable corpus)
+    explicitInput.filterNot(_.contains("://")).foreach(p =>
+      require(new java.io.File(p).exists(), s"--input $p does not exist"))
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -12,7 +12,8 @@ object DedupBench {
     val conf = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val cores = conf.getOrElse("--cores", "32").toInt
     val n = conf.getOrElse("--rows", "1000000").toLong
-    val input = conf.getOrElse("--input", s"/tmp/graft-dedup-$n")
+    val explicitInput = conf.get("--input")
+    val input = explicitInput.getOrElse(s"/tmp/graft-dedup-$n")
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("WARN")
     def time(name: String)(f: => Long): Unit = {
@@ -67,8 +68,12 @@ object DedupBench {
     // --mode corpus: the corpus-refinement family at scale (url column kept)
     if (conf.get("--mode").contains("corpus")) {
       import pipeline.ops.CorpusRefine
-      val cinput = conf.getOrElse("--cinput", s"/tmp/graft-corpus-$n")
-      if (!new java.io.File(cinput).exists()) {
+      // default-path reuse requires the _SUCCESS marker (a killed
+      // generation run must regenerate, not benchmark a truncated
+      // corpus); an explicit --cinput is the user's data, reused as-is
+      val explicitC = conf.get("--cinput")
+      val cinput = explicitC.getOrElse(s"/tmp/graft-corpus-$n")
+      if (explicitC.isEmpty && !new java.io.File(s"$cinput/_SUCCESS").exists()) {
         Webtext.df(spark, n, 64).select(
           xxhash64(col("url")).as("id"), col("url"), col("text"), col("lang"))
           .write.mode("overwrite").parquet(cinput)
@@ -94,12 +99,14 @@ object DedupBench {
         .filter(col("n") > 0).count())
       time("lang_id_native")(cdocs
         .select(pipeline.ops.TextAnalysis.langId(col("text")).as("l"))
-        .filter(col("l") =!= "zz").count())
+        .filter(col("l") =!= "und").count())
       spark.stop()
       return
     }
 
-    if (!new java.io.File(input).exists()) {
+    // same default-path _SUCCESS gate as corpus mode (explicit --input is
+    // the user's corpus, reused as-is)
+    if (explicitInput.isEmpty && !new java.io.File(s"$input/_SUCCESS").exists()) {
       Webtext.df(spark, n, 64).select(
         xxhash64(col("url")).as("id"), col("text"))
         .write.mode("overwrite").parquet(input)

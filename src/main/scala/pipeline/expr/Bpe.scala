@@ -189,12 +189,19 @@ object Bpe {
           while (i < len && { val x = text.charAt(i); !isWs(x) && !isAl(x) && !isDg(x) }) i += 1
         }
         val tok = text.substring(start, i)
-        var n = cache.get(tok)
-        if (n == null) {
-          n = Integer.valueOf(encodeLen(tok, ranks))
-          cache.put(tok, n)
+        // long tokens bypass the memo: a whitespace-free document (CJK,
+        // base64, minified JS) is ONE pretoken, and caching whole
+        // documents per pooled thread would pin unbounded heap; >64-char
+        // tokens rarely repeat Zipf-style anyway
+        if (tok.length > 64) total += encodeLen(tok, ranks)
+        else {
+          var n = cache.get(tok)
+          if (n == null) {
+            n = Integer.valueOf(encodeLen(tok, ranks))
+            cache.put(tok, n)
+          }
+          total += n.intValue
         }
-        total += n.intValue
       }
     }
     total

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
  * One JSON line per (micro-batch, metric) appended driver-side (the
  * Ledger pattern — listeners and foreachBatch both run on the driver):
  *
- *   {"batch_id":N,"query":"...","kind":"input|late|sink",
+ *   {"seq":N,"batch_id":N,"query":"...","kind":"input|late|sink",
  *    "name":"...","rows":N,"ts":"..."}
  *
  *  - `input`: the observed `graft_stream_in` events_in of the micro-batch
