@@ -105,4 +105,44 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("∀ texts: round-4 op invariants (bpe bounds, paragraph conservation, tfidf ranks)") {
+    val s = sc
+    import s.implicits._
+    forAll(Gen.listOfN(40, genText), n = 6) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+      // BPE: pretoken count ≤ real count ≤ estimate-regex char mass; and
+      // the whitespace estimate can differ, but both are non-negative
+      val bpe = d.select(
+        pipeline.ops.TextAnalysis.bpeTokenCount(col("text")).as("est"),
+        pipeline.ops.TextAnalysis.bpeTokenCountReal(col("text")).as("real"))
+        .collect()
+      bpe.foreach { r =>
+        val (est, real) = (r.getInt(0), r.getInt(1))
+        assert(real >= est, s"real BPE count $real < pretoken count $est " +
+          "(each pretoken encodes to >= 1 symbol)")
+      }
+
+      // paragraph dedup conservation: Σ n_paras == total exploded chunks;
+      // Σ n_kept == number of DISTINCT paragraph digests corpus-wide;
+      // 0 <= n_kept <= n_paras per doc
+      val stats = pipeline.ops.CorpusRefine.paragraphDedup(d, "doc_id", "text", k = 2)
+      val rows = stats.collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(rows.forall { case (np, nk) => nk >= 0 && nk <= np })
+      val exploded = d.select(col("doc_id"),
+        explode(pipeline.ops.CorpusRefine.wordChunks(
+          pipeline.ops.Portable.tokens(col("text")), 2)).as("para"))
+      assert(rows.map(_._1).sum == exploded.count())
+      assert(rows.map(_._2).sum == exploded.select("para").distinct().count())
+
+      // tfidf: per-doc ranks are dense 1..min(k, #terms); df ≥ 1; score > 0
+      val tf = pipeline.ops.CorpusRefine.tfidfTopK(d, "doc_id", "text", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      tf.groupBy(_._1).foreach { case (_, rs) =>
+        assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq, "ranks must be dense from 1")
+      }
+      assert(tf.forall { case (_, df, score, _) => df >= 1 && score > 0.0 })
+    }
+  }
 }
