@@ -171,6 +171,13 @@ object TransformCompiler {
         // closure is computed over numeric node ids; a 64-bit id collision
         // conflating two docs is ~N²/2⁶⁵ — negligible against MinHash's
         // own false-positive band collisions).
+        //
+        // NOTE exact duplicates: node id = xxhash64 of the full row, so
+        // FULLY identical rows collapse to ONE graph node and are kept or
+        // dropped together — dedup_near alone does not thin exact copies.
+        // Chain `dedup_exact` BEFORE `dedup_near` (the order the flagship
+        // corpus_assembly config uses); ConfigRunnerSpec pins the
+        // identical-rows-survive-together behavior.
         val nGram = intOpt("nGram").getOrElse(3)
         val bands = intOpt("bands").getOrElse(4)
         val rows = intOpt("rowsPerBand").getOrElse(4)

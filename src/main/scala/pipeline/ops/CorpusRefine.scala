@@ -172,6 +172,13 @@ object CorpusRefine {
    * occurrence (ordered by doc id, then position) — every later copy in any
    * document drops. Returns per-document (n_paras, n_kept).
    *
+   * PRECONDITION: `idCol` is unique per input row (the corpus schema
+   * contract — run dedup_exact first if in doubt). The winner-marking
+   * equijoin keys on (d, id, pos), which is unique only under unique ids;
+   * two input rows sharing an id with identical text would BOTH match the
+   * firsts row and both count in n_kept, where the round-3 row_number form
+   * kept exactly one. ParagraphDedup's spec pins this precondition.
+   *
    * Scale shape (skew-safe): first occurrence per digest is a
    * `groupBy(d).agg(min(struct(id, pos)))` — map-side combinable, so a
    * ubiquitous boilerplate paragraph's copies partial-reduce inside each
@@ -261,12 +268,20 @@ object CorpusRefine {
    *
    * Both consumers of `pairs` (the df aggregate and the join probe) use
    * the identical (id, term, tf) column set — `count(when(tf >= 1, id))`
-   * ≡ `count(*)` here (tf ≥ 1 by construction) and exists solely so
-   * ColumnPruning cannot specialize the barrier exchange per consumer.
+   * ≡ `count(*)` here (tf ≥ 1 by construction, id non-null by the filter
+   * below) and exists solely so ColumnPruning cannot specialize the
+   * barrier exchange per consumer.
+   *
+   * Null-id documents are filtered out up front (the packTokenShards
+   * posture): a per-document ranking is meaningless for an unidentified
+   * document, and — because `count(col)` skips nulls — a term occurring
+   * only in null-id docs would otherwise get df=0 and score tf·N/0 =
+   * +Infinity, ranking garbage first.
    */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int, maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val pairs = df
+    val docs = df.filter(col(idCol).isNotNull)
+    val pairs = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term"))
@@ -281,7 +296,7 @@ object CorpusRefine {
     // to "distinct ids in pairs" (countDistinct, so duplicate id rows —
     // which the pairs groupBy merges — count once) without re-exploding:
     // the cost is one tokenize scan + a doc-count-sized distinct exchange
-    val n = df.agg(countDistinct(when(
+    val n = docs.agg(countDistinct(when(
       size(filter(tokens(col(textCol)), t => t =!= "")) > 0, col(idCol)))
       .as("n_docs"))
     val w = Window.partitionBy(col(idCol))

@@ -46,9 +46,11 @@ object Multimodal {
           }
         case "audio" =>
           // REAL: header-only javax.sound.sampled read; duration from
-          // frames/rate; compressed/unrecognized payloads → not ok
+          // frames/rate; compressed/unrecognized payloads → not ok.
+          // frames >= 0 too: getFrameLength is NOT_SPECIFIED (-1) for some
+          // recognized streams, which would yield ok with negative duration
           WavHeaderExpr.header(bytes) match {
-            case Some((rate, _, frames, _)) if rate > 0 =>
+            case Some((rate, _, frames, _)) if rate > 0 && frames >= 0 =>
               (0, 0, frames * 1000L / rate, true)
             case _ => (0, 0, 0L, false)
           }

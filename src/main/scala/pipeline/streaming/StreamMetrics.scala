@@ -31,7 +31,8 @@ import org.apache.spark.sql.types._
  * Load with [[StreamMetrics.load]]; `kind=sink` rows grouped by name must
  * equal the ledger's per-sink totals.
  */
-final class StreamMetrics(dir: String) {
+final class StreamMetrics(dir: String,
+    allowedKinds: Set[String] = StreamMetrics.SinkKinds) {
 
   import pipeline.io.Jsonl.esc
 
@@ -61,8 +62,19 @@ final class StreamMetrics(dir: String) {
       mx + 1
     }
 
+  /** ONE-WRITER-PER-KIND invariant: the last-wins load is deterministic
+    * only because no two instances (with independent seq counters over one
+    * shared file) ever write the same (batch, query, kind, name) key —
+    * same-key rows from two writers could tie on seq. Each instance
+    * therefore declares its kind space up front ([[StreamMetrics.SinkKinds]]
+    * for the foreachBatch writer, [[StreamMetrics.ListenerKinds]] for the
+    * progress listener — disjoint by construction) and `append` rejects
+    * kinds outside it. */
   def append(batchId: Long, query: String, kind: String, name: String,
              rows: Long): Unit = synchronized {
+    require(allowedKinds.contains(kind),
+      s"StreamMetrics writer for kinds $allowedKinds got kind '$kind' — " +
+        "one writer instance per kind space (see SinkKinds/ListenerKinds)")
     pipeline.io.Jsonl.appendLine(file,
       s"""{"seq":$seq,"batch_id":$batchId,"query":"${esc(query)}","kind":"${esc(kind)}","name":"${esc(name)}","rows":$rows,"ts":"${java.time.Instant.now()}"}""")
     seq += 1
@@ -72,6 +84,11 @@ final class StreamMetrics(dir: String) {
 }
 
 object StreamMetrics {
+
+  /** Kind space of the foreachBatch sink-count writer. */
+  val SinkKinds: Set[String] = Set("sink")
+  /** Kind space of the progress-listener writer ([[attach]]). */
+  val ListenerKinds: Set[String] = Set("input", "late")
 
   val schema: StructType = StructType(Seq(
     StructField("seq", LongType),
@@ -109,7 +126,7 @@ object StreamMetrics {
    * not assume them on awaitTermination.
    */
   def attach(spark: SparkSession, dir: String): StreamingQueryListener = {
-    val m = new StreamMetrics(dir)
+    val m = new StreamMetrics(dir, ListenerKinds)
     val l = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()

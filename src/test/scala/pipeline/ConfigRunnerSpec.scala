@@ -375,6 +375,33 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dedup_near"))
   }
 
+  test("dedup_near: fully identical rows share one node — chain dedup_exact first") {
+    val s = sc
+    import s.implicits._
+    val textX = "alpha beta gamma delta epsilon zeta eta theta"
+    // a1 == a2 byte-for-byte (one xxhash64 node); b is the same text at a
+    // different url (a distinct node, guaranteed candidate pair)
+    val d = Seq(
+      ("u1.example/a", textX), ("u1.example/a", textX), ("u2.example/b", textX))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src"))
+    val near = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("dedup_near",
+        Map("nGram" -> "3", "bands" -> "2", "rowsPerBand" -> "4")))
+    val urls = near(d).select("url").collect().map(_.getString(0)).toSeq
+    // the documented behavior: identical rows are kept or dropped TOGETHER
+    // (dedup_near alone never thins exact copies)
+    assert(urls.count(_ == "u1.example/a") != 1,
+      s"identical rows must share one graph fate, got $urls")
+    assert(urls.toSet.size == 1, s"one cluster → one surviving url: $urls")
+    // the documented chain order collapses exact copies first: one row out
+    val exact = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("dedup_exact", Map.empty))
+    assert(near(exact(d)).count() == 1L)
+  }
+
   test("conflicting grok schemas across sources fail with a config-shaped error") {
     val s = sc
     val spec = pipeline.config.PipelineSpec(

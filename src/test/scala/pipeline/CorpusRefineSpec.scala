@@ -326,4 +326,36 @@ class CorpusRefineSpec extends AnyFunSuite {
     val plan = a.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("tfidfTopK: null-id docs filtered up front — no df=0 +Infinity terms") {
+    val s = sc
+    import s.implicits._
+    // "ghostterm" occurs ONLY in the null-id doc: count(id) skips nulls, so
+    // without the up-front filter it gets df=0 → score tf·N/0 = +Infinity
+    // and ranks first in the null partition (the r4 ADVICE finding)
+    val d = Seq(
+      (Option(1L), "alpha common"),
+      (Option(2L), "common beta"),
+      (Option.empty[Long], "ghostterm ghostterm")).toDF("doc_id", "text")
+    val out = CorpusRefine.tfidfTopK(d, "doc_id", "text", k = 2).collect()
+    assert(out.forall(r => !r.isNullAt(0)), "null-id rows must not rank")
+    assert(!out.exists(_.getString(1) == "ghostterm"))
+    assert(out.forall(r => java.lang.Double.isFinite(r.getDouble(4))),
+      s"no infinite scores: ${out.mkString(",")}")
+    // N excludes the null-id doc: alpha tf=1 df=1 N=2 → 2.0
+    val alpha = out.find(r => r.getLong(0) == 1L && r.getString(1) == "alpha").get
+    assert(alpha.getDouble(4) == 2.0)
+  }
+
+  test("paragraphDedup: duplicate-id inputs inflate n_kept (documented precondition)") {
+    val s = sc
+    import s.implicits._
+    // two rows sharing doc_id with identical text both match the (d,id,pos)
+    // firsts row — the documented unique-id precondition; run dedup_exact
+    // first on inputs that may carry duplicate ids
+    val d = Seq((1L, "a b c"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = CorpusRefine.paragraphDedup(d, "doc_id", "text", k = 3).head()
+    assert(out.getLong(1) == 2L && out.getLong(2) == 2L,
+      s"pinned duplicate-id behavior changed: $out")
+  }
 }

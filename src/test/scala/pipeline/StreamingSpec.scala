@@ -102,6 +102,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally s.streams.removeListener(listener)
   }
 
+  test("stream metrics: writers declare disjoint kind spaces (one writer per kind)") {
+    // two instances share one file with independent seq counters, so
+    // last-wins is deterministic ONLY because their kind spaces are
+    // disjoint — append enforces the declared space (the r4 ADVICE finding)
+    val out = Files.createTempDirectory("graft-sm-roles").toString
+    val sink = new pipeline.streaming.StreamMetrics(out)
+    val listener = new pipeline.streaming.StreamMetrics(
+      out, pipeline.streaming.StreamMetrics.ListenerKinds)
+    sink.append(0L, "q", "sink", "s3", 1L)
+    listener.append(0L, "q", "input", "events_in", 1L)
+    listener.append(0L, "q", "late", "dropped_by_watermark", 0L)
+    intercept[IllegalArgumentException](sink.append(0L, "q", "input", "x", 1L))
+    intercept[IllegalArgumentException](listener.append(0L, "q", "sink", "s3", 2L))
+    assert(pipeline.streaming.StreamMetrics.SinkKinds
+      .intersect(pipeline.streaming.StreamMetrics.ListenerKinds).isEmpty)
+  }
+
   test("stream metrics: watermark-dropped rows surface in the late counter") {
     val s = sc
     import s.implicits._
