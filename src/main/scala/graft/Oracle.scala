@@ -851,6 +851,22 @@ object Oracle {
         |   CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE)) AS BIGINT) AS duration_ms,
         | 'wav' AS audio_format,
         | '52494646' AS magic_hex
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_video" ->
+      // the Spark side ENCODES a minimal ISO-BMFF MP4 per row and DECODES
+      // its container header back with the pure-byte box walk; timescale/
+      // duration/dims are pure functions of doc_id and the magic is the
+      // literal 'ftyp' fourcc at byte offset 4
+      """SELECT doc_id,
+        | 'isom' AS brand,
+        | CAST(600 + (doc_id % 4) * 600 AS INTEGER) AS timescale,
+        | CAST((doc_id % 500 + 100) * 6 AS BIGINT) AS duration_ticks,
+        | CAST(floor(CAST((doc_id % 500 + 100) * 6 AS DOUBLE) * 1000.0 /
+        |   CAST(600 + (doc_id % 4) * 600 AS DOUBLE)) AS BIGINT) AS duration_ms,
+        | CAST(doc_id % 320 + 16 AS INTEGER) AS vid_w,
+        | CAST(doc_id % 240 + 16 AS INTEGER) AS vid_h,
+        | '66747970' AS magic_hex
         |FROM documents""".stripMargin
   )
 }

@@ -711,6 +711,32 @@ object Queries {
       hex(substring(wav, 1, 4)).as("magic_hex"))
   }
 
+  /** REAL video container-header round-trip (pure-byte ISO-BMFF box walk,
+    * zero codec libraries): a deterministic (doc_id-derived) minimal MP4 is
+    * ENCODED per row, then its moov/mvhd timescale+duration and trak/tkhd
+    * dims are DECODED back by the box walk — the oracle knows every field
+    * as a pure function of doc_id plus the literal 'ftyp' magic at offset
+    * 4, so a stubbed/checksum-fake codec cannot pass. Frame pixel decode
+    * stays the one documented stub (needs a real codec binding). */
+  def qMultimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    val timescale = (lit(600L) + pmod(col("doc_id"), lit(4L)) * 600L).cast("int")
+    val durTicks = (pmod(col("doc_id"), lit(500L)) + 100L) * 6L
+    val w = (pmod(col("doc_id"), lit(320L)) + 16L).cast("int")
+    val h = (pmod(col("doc_id"), lit(240L)) + 16L).cast("int")
+    val mp4 = pipeline.expr.Mp4Exprs.mp4Encode(timescale, durTicks, w, h)
+    val hdr = pipeline.expr.Mp4Exprs.mp4Header(mp4)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      hdr.getField("brand").as("brand"),
+      hdr.getField("timescale").as("timescale"),
+      hdr.getField("duration").as("duration_ticks"),
+      floor(hdr.getField("duration").cast("double") * 1000.0 /
+        hdr.getField("timescale").cast("double")).cast("long").as("duration_ms"),
+      hdr.getField("width").as("vid_w"),
+      hdr.getField("height").as("vid_h"),
+      hex(substring(mp4, 5, 4)).as("magic_hex"))
+  }
+
   /** REAL image codec round-trip (JDK `javax.imageio`, zero external jars):
     * a deterministic (doc_id-derived) PNG is ENCODED per row, then its
     * header is DECODED back — the oracle knows the expected dims (pure

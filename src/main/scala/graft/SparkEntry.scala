@@ -72,6 +72,7 @@ object SparkEntry {
     "q_multimodal" -> (Queries.qMultimodal _),
     "q_multimodal_image" -> (Queries.qMultimodalImage _),
     "q_multimodal_audio" -> (Queries.qMultimodalAudio _),
+    "q_multimodal_video" -> (Queries.qMultimodalVideo _),
     "q_corpus_clean" -> (Queries.qCorpusClean _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

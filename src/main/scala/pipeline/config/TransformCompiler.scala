@@ -35,6 +35,10 @@ import pipeline.ops.Portable
  *                              drop non-representatives (`nGram`, `bands`,
  *                              `rowsPerBand`, `maxBucketSize`); BATCH
  *                              frames only (the closure iterates)
+ *  - `token_count`           — annotate `as` (default n_tokens) with a
+ *                              token count of `column`: `mode` real
+ *                              (merge-table BPE; optional `mergesPath`
+ *                              GPT-2 merges.txt) | estimate | whitespace
  *  - `truncate`              — cap `column` (default text) at `maxChars`
  *
  * UNDECODED rows bypass the filtering stages: when the caller marks them
@@ -142,6 +146,33 @@ object TransformCompiler {
         val c = opt("column").getOrElse("text")
         df => df.withColumn(c, substring(col(c), 1, maxChars))
 
+      case "token_count" =>
+        // annotate rows with a token count (an annotation, not a filter —
+        // bypass rows just get a null/harmless count): `mode` = real
+        // (merge-table BPE, default) | estimate (pretokenizer regex) |
+        // whitespace; `mergesPath` loads a GPT-2-format merges.txt for
+        // mode=real (the production-vocabulary path; the embedded fixture
+        // table is the default). The path resolves on the DRIVER at config
+        // compile time — fail here, config-shaped, not mid-job.
+        val c = opt("column").getOrElse("text")
+        val outCol = opt("as").getOrElse("n_tokens")
+        val mode = opt("mode").getOrElse("real")
+        val mergesPath = opt("mergesPath")
+        if (mergesPath.isDefined && mode != "real")
+          err(s"'mergesPath' only applies to mode=real, got mode=$mode")
+        val counter: Column => Column = mode match {
+          case "real" =>
+            val table = mergesPath.map { p =>
+              try pipeline.expr.Bpe.loadCached(p)
+              catch { case e: Exception => err(s"bad mergesPath '$p': ${e.getMessage}") }
+            }.getOrElse(pipeline.expr.Bpe.Fixture)
+            pipeline.ops.TextAnalysis.bpeTokenCountReal(_, table)
+          case "estimate" => pipeline.ops.TextAnalysis.bpeTokenCount(_)
+          case "whitespace" => pipeline.ops.TextAnalysis.tokenCount(_)
+          case other => err(s"unknown mode '$other' (real|estimate|whitespace)")
+        }
+        df => df.withColumn(outCol, counter(col(c)))
+
       case "quality_filter" =>
         // drop docs below a composite quality score (stopword presence,
         // sane token length, low punctuation — TextAnalysis.qualityScore,
@@ -211,7 +242,7 @@ object TransformCompiler {
       case other =>
         err(s"unknown transform kind '$other' (known: pii_redact, " +
           "dedup_exact, dedup_near, lang_allowlist, quality_filter, " +
-          "repetition_filter, stratified_sample, truncate)")
+          "repetition_filter, stratified_sample, token_count, truncate)")
     }
   }
 }

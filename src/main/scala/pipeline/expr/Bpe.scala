@@ -6,20 +6,32 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /**
- * Deterministic merge-table byte-pair encoding: a REAL (if small) BPE
- * tokenizer, replacing the pretokenizer-regex ESTIMATE
+ * Deterministic merge-table byte-pair encoding: a REAL BPE tokenizer,
+ * replacing the pretokenizer-regex ESTIMATE
  * (pipeline.ops.TextAnalysis.bpeTokenCount — kept alongside for
  * comparison) where an actual subword count matters: token budgets drive
  * shard packing (CorpusRefine.packTokenShards) and corpus pricing, and a
  * regex estimate miscounts code/UTF-8-heavy text.
  *
- * The merge table is LEARNED at class-load from an embedded fixture corpus
- * by the classic BPE procedure (count adjacent symbol pairs over the word
- * frequency table; merge the most frequent, ties broken lexicographically;
- * repeat) — a pure function of the corpus constant, so every executor and
- * every rerun derives the identical table: no model file, no RNG, no
- * network. Encoding applies merges in learned-rank order (lowest rank
- * first), exactly like GPT-2-style tokenizers apply their merges.txt.
+ * Two merge-table sources:
+ *
+ *  - the EMBEDDED FIXTURE table, learned at class load from an embedded
+ *    corpus by the classic BPE procedure (count adjacent symbol pairs over
+ *    the word frequency table; merge the most frequent, ties broken
+ *    lexicographically; repeat) — a pure function of the corpus constant,
+ *    so every executor and every rerun derives the identical table: no
+ *    model file, no RNG, no network;
+ *  - a LOADED table in the GPT-2 `merges.txt` format ([[Bpe.load]] /
+ *    [[Bpe.parseMerges]]): one `left right` pair per line in rank order,
+ *    `#`-prefixed header lines (`#version: 0.2`) and blanks skipped —
+ *    how production vocabularies (32k–100k merges) enter the pipeline.
+ *    The FORMAT is GPT-2's; the pretokenizer stays ours (char-level over
+ *    [[Bpe.PretokenRe]] classes) — a verbatim byte-level GPT-2 file with
+ *    `Ġ` space markers parses fine but its marker entries never fire,
+ *    because our pretokens never carry the marker.
+ *
+ * Encoding applies merges in learned-rank order (lowest rank first),
+ * exactly like GPT-2-style tokenizers apply their merges.txt.
  */
 object Bpe {
 
@@ -28,10 +40,16 @@ object Bpe {
     * runs; whitespace separates and is not counted. */
   val PretokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+".r
 
-  /** Embedded training fixture: deterministic English+code+number text.
-    * Small by design — the point is a REAL merge procedure with stable
-    * results, not linguistic coverage (swap the corpus, keep the code). */
-  val TrainingCorpus: String = Seq(
+  /** Embedded training fixture: deterministic English+code+number text,
+    * plus a stem×suffix morphology block ([[MorphBlock]]) that widens the
+    * learned vocabulary to production-shaped subword merges (round-4
+    * verdict: a ~500-merge table under-merges real text and overcounts
+    * tokens). Still small by design — the point is a REAL merge procedure
+    * with stable results; swap in a merges.txt for linguistic coverage. */
+  val TrainingCorpus: String = (BaseCorpusLines ++ Seq(MorphBlock, MorphBlock))
+    .mkString(" ")
+
+  private def BaseCorpusLines: Seq[String] = Seq(
     "the quick brown fox jumps over the lazy dog and the cat sat on the mat",
     "in the beginning the web page loaded the server returned the status",
     "request response header body content length type encoding charset utf",
@@ -64,7 +82,26 @@ object Bpe {
     "all the requests and responses were logged with their timestamps",
     "every document in the corpus was tokenized sharded and sampled",
     "languages and qualities were estimated for each of the documents")
-    .mkString(" ")
+
+  /** Deterministic morphology block: every stem×suffix crossing, emitted
+    * TWICE in the corpus so each crossing's adjacent pairs clear the
+    * min-frequency-2 learning bar. Pure data, no RNG — reruns and
+    * executors derive the identical table. */
+  private def MorphBlock: String = {
+    val stems = Vector(
+      "load", "pars", "process", "request", "respond", "encod", "decod",
+      "partition", "execut", "aggregat", "stream", "batch", "rout",
+      "enrich", "filter", "sampl", "shard", "token", "index", "cach",
+      "serializ", "compress", "schedul", "monitor", "validat", "transform",
+      "normaliz", "digest", "cluster", "replicat", "migrat", "deploy",
+      "configur", "authentic", "authoriz", "connect", "disconnect",
+      "subscrib", "publish", "consum", "produc", "transmit", "receiv",
+      "archiv", "restor", "snapshot", "compact", "merg", "split", "shuffl")
+    val suffixes = Vector(
+      "e", "es", "ed", "er", "ers", "ing", "ings", "ion", "ions",
+      "able", "ement", "ation")
+    stems.flatMap(st => suffixes.map(st + _)).mkString(" ")
+  }
 
   /** Classic BPE learning over a word-frequency table. Deterministic:
     * ties on pair frequency break by the lexicographically smallest
@@ -95,14 +132,22 @@ object Bpe {
         merges += pair
         val joined = pair._1 + pair._2
         words = words.map { case (syms, freq) =>
-          val out = Vector.newBuilder[String]
+          var has = false
           var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
-              out += joined; i += 2
-            } else { out += syms(i); i += 1 }
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == pair._1 && syms(i + 1) == pair._2; i += 1
           }
-          out.result() -> freq
+          if (!has) syms -> freq // untouched words keep their vector
+          else {
+            val out = Vector.newBuilder[String]
+            i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+                out += joined; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> freq
+          }
         }.groupMapReduce(_._1)(_._2)(_ + _)
         n += 1
       }
@@ -110,14 +155,68 @@ object Bpe {
     merges.result()
   }
 
-  /** The fixture merge table (~hundreds of merges before the small corpus
-    * exhausts repeated pairs) and its rank lookup. */
-  lazy val Merges: Vector[(String, String)] = learn(TrainingCorpus, 1024)
-  lazy val Ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    Merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + "\u0000" + r, i) }
-    m
+  /** The embedded-fixture table (learned once per JVM, identical on every
+    * executor) — the default everywhere no merges.txt is configured. */
+  lazy val Fixture: BpeTable = new BpeTable(learn(TrainingCorpus, 8192))
+
+  /** Fixture merge list / rank lookup (back-compat aliases). */
+  def Merges: Vector[(String, String)] = Fixture.merges
+  def Ranks: java.util.HashMap[String, Integer] = Fixture.ranks
+
+  /** Total fixture-table BPE token count for a text (driver-side twin of
+    * the expression; specs compare against it). */
+  def countTokens(text: String): Int = Fixture.countTokens(text)
+
+  /**
+   * Parse GPT-2 `merges.txt` content: one `left right` merge per line in
+   * rank order; `#`-prefixed lines and blank lines skip (the GPT-2 file
+   * opens with `#version: 0.2`). Malformed lines (not exactly two
+   * space-separated non-empty fields) fail fast with the line number —
+   * a vocabulary typo must not silently truncate the table.
+   */
+  def parseMerges(lines: IterableOnce[String]): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    var ln = 0
+    lines.iterator.foreach { raw =>
+      ln += 1
+      val line = raw.stripLineEnd
+      if (line.nonEmpty && !line.startsWith("#")) {
+        val parts = line.split(" ", -1)
+        if (parts.length != 2 || parts(0).isEmpty || parts(1).isEmpty)
+          throw new IllegalArgumentException(
+            s"merges.txt line $ln: expected 'left right', got '$line'")
+        out += ((parts(0), parts(1)))
+      }
+    }
+    out.result()
   }
+
+  /** Render a merge table back to GPT-2 `merges.txt` format (with the
+    * version header) — parseMerges∘renderMerges is identity. */
+  def renderMerges(merges: Vector[(String, String)]): String =
+    ("#version: 0.2" +: merges.map { case (l, r) => s"$l $r" }).mkString("\n") + "\n"
+
+  /** Load a GPT-2-format merges.txt from a local/shared path. Driver-side:
+    * the parsed table ships to executors inside the expression tree, so
+    * only the driver needs to see the file (spark-submit `--files` lands
+    * it in the driver cwd on a cluster). */
+  def load(path: String): BpeTable = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    new BpeTable(parseMerges(scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala))
+  }
+
+  /** [[load]] with a per-path cache: config compilation and SQL function
+    * resolution may build the same expression many times per session, and
+    * a 50k-merge production table should parse once, not per query.
+    * Deliberately no invalidation — a vocabulary file is immutable for the
+    * life of a training run; editing it in place mid-session is a user
+    * error this cache makes visible rather than hides. */
+  def loadCached(path: String): BpeTable =
+    loadedTables.computeIfAbsent(path, p => load(p))
+
+  private val loadedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeTable]()
 
   /** Number of BPE symbols for ONE pretoken: start from characters, merge
     * the lowest-ranked adjacent pair until none applies. */
@@ -132,7 +231,7 @@ object Bpe {
       var bestAt = -1
       var j = 0
       while (j < syms.size - 1) {
-        val r = ranks.get(syms.get(j) + "\u0000" + syms.get(j + 1))
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
         if (r != null && r < bestRank) { bestRank = r; bestAt = j }
         j += 1
       }
@@ -145,34 +244,71 @@ object Bpe {
     syms.size
   }
 
+  // the pretokenizer's three character classes, exactly as the regex
+  // defines them: Java \s is ASCII-only ([ \t\n\f\r]); everything
+  // neither \s nor alnum (incl. unicode letters/spaces) is a punct run
+  @inline private[expr] def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private[expr] def isAl(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  @inline private[expr] def isDg(c: Char): Boolean = c >= '0' && c <= '9'
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Column form: real BPE token count with the fixture table (null text →
+    * null). Non-string columns coerce via the cast, like the estimate. */
+  def bpeCount(text: Column): Column = bpeCount(text, Fixture)
+
+  /** Column form against an explicit merge table (e.g. [[load]]ed from a
+    * GPT-2 merges.txt) — the production-vocabulary path. */
+  def bpeCount(text: Column, table: BpeTable): Column =
+    column(BpeCountExpr(expression(text.cast("string")), table))
+}
+
+/**
+ * An immutable BPE merge table + encoder. Serializable — the table ships
+ * to executors inside the expression tree (serialized once per stage into
+ * the broadcast task binary, NOT per row); the rank lookup and the
+ * per-thread memo rebuild lazily after deserialization. Equality is by
+ * the merge list, so two plans over the same vocabulary stay
+ * canonically equal (exchange reuse, semanticEquals).
+ */
+final class BpeTable(val merges: Vector[(String, String)]) extends Serializable {
+
+  @transient lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      // first occurrence wins, like GPT-2's dict(zip(merges, range(n)))
+      // would NOT — it keeps the last; rank order makes lower win anyway
+      if (!m.containsKey(l + " " + r)) m.put(l + " " + r, i)
+    }
+    m
+  }
+
   /** Per-thread LRU memo of pretoken → encoded length: word frequency is
     * Zipfian on real text, so most pretokens repeat constantly and the
     * O(len²) merge loop re-derives the same answer (measured 16.8s → see
     * BASELINE.md for the 1M-doc before/after). ThreadLocal because
     * expression instances can be shared across task threads in local
-    * mode; memoizing a pure function keeps results bit-identical. */
-  private val cacheLocal =
+    * mode; per-TABLE so two vocabularies never cross-contaminate entries;
+    * memoizing a pure function keeps results bit-identical. */
+  @transient private lazy val cacheLocal =
     ThreadLocal.withInitial[java.util.LinkedHashMap[String, Integer]](() =>
       new java.util.LinkedHashMap[String, Integer](1024, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, Integer]): Boolean = size > 65536
       })
 
-  // the pretokenizer's three character classes, exactly as the regex
-  // defines them: Java \s is ASCII-only ([ \t\n\f\r]); everything
-  // neither \s nor alnum (incl. unicode letters/spaces) is a punct run
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-  @inline private def isAl(c: Char): Boolean =
-    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
-  @inline private def isDg(c: Char): Boolean = c >= '0' && c <= '9'
+  def encodeLen(token: String): Int = Bpe.encodeLen(token, ranks)
 
   /** Total BPE token count for a text (sum over pretokens). Hand-rolled
-    * scanner over the SAME three classes as [[PretokenRe]] (spec-pinned
-    * equal on adversarial strings): the Scala MatchIterator dominated the
-    * 1M-doc drill (regex scan ≈ the whole 16.8s; see BASELINE.md). */
+    * scanner over the SAME three classes as [[Bpe.PretokenRe]]
+    * (spec-pinned equal on adversarial strings): the Scala MatchIterator
+    * dominated the 1M-doc drill (regex scan ≈ the whole 16.8s; see
+    * BASELINE.md). */
   def countTokens(text: String): Int = {
-    val ranks = Ranks
+    import Bpe.{isAl, isDg, isWs}
+    val rk = ranks
     val cache = cacheLocal.get()
     var total = 0
     var i = 0
@@ -193,11 +329,11 @@ object Bpe {
         // base64, minified JS) is ONE pretoken, and caching whole
         // documents per pooled thread would pin unbounded heap; >64-char
         // tokens rarely repeat Zipf-style anyway
-        if (tok.length > 64) total += encodeLen(tok, ranks)
+        if (tok.length > 64) total += Bpe.encodeLen(tok, rk)
         else {
           var n = cache.get(tok)
           if (n == null) {
-            n = Integer.valueOf(encodeLen(tok, ranks))
+            n = Integer.valueOf(Bpe.encodeLen(tok, rk))
             cache.put(tok, n)
           }
           total += n.intValue
@@ -207,22 +343,24 @@ object Bpe {
     total
   }
 
-  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-
-  /** Column form: real BPE token count (null text → null). Non-string
-    * columns coerce via the cast, like the regex-estimate twin. */
-  def bpeCount(text: Column): Column =
-    column(BpeCountExpr(expression(text.cast("string"))))
+  override def equals(o: Any): Boolean = o match {
+    case t: BpeTable => (t eq this) || t.merges == merges
+    case _ => false
+  }
+  override val hashCode: Int = merges.hashCode
+  override def toString: String = s"BpeTable(${merges.size} merges)"
 }
 
 /** text → real merge-table BPE token count, one tight per-row pass (the
-  * native-over-HOF rule: any per-row loop lives in an Expression). */
-case class BpeCountExpr(child: Expression) extends UnaryExpression {
+  * native-over-HOF rule: any per-row loop lives in an Expression). The
+  * table is a constructor value — fixture by default, loaded merges.txt
+  * on the config surface — and participates in case-class equality. */
+case class BpeCountExpr(child: Expression, table: BpeTable) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
   def compute(input: Any): Any =
-    Integer.valueOf(Bpe.countTokens(input.toString))
+    Integer.valueOf(table.countTokens(input.toString))
 
   override def nullSafeEval(input: Any): Any = compute(input)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -53,8 +53,14 @@ object Functions {
     import org.apache.spark.sql.types.{BinaryType, StringType}
     reg.createOrReplaceTempFunction("graft_audio_header",
       es => WavHeaderExpr(Cast(es.head, BinaryType)), "built-in")
+    reg.createOrReplaceTempFunction("graft_video_header",
+      es => Mp4HeaderExpr(Cast(es.head, BinaryType)), "built-in")
+    // optional 2nd arg: a GPT-2-format merges.txt path, resolved on the
+    // driver at analysis time (the parsed table ships in the plan)
     reg.createOrReplaceTempFunction("graft_bpe_count",
-      es => BpeCountExpr(Cast(es.head, StringType)), "built-in")
+      es => BpeCountExpr(Cast(es.head, StringType),
+        if (es.size > 1) Bpe.loadCached(strLit(es(1), "mergesPath")) else Bpe.Fixture),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
       es => LangIdExpr(Cast(es.head, StringType)), "built-in")
   }

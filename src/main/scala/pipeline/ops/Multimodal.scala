@@ -3,7 +3,7 @@ package pipeline.ops
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import pipeline.expr.{ImageDimsExpr, PngEncodeExpr, WavHeaderExpr}
+import pipeline.expr.{ImageDimsExpr, Mp4EncodeExpr, Mp4HeaderExpr, PngEncodeExpr, WavHeaderExpr}
 
 /**
  * Multimodal-column plumbing: image/audio/video ride as opaque `binary`
@@ -18,9 +18,11 @@ import pipeline.expr.{ImageDimsExpr, PngEncodeExpr, WavHeaderExpr}
  *    uncompressed-audio headers (rate/channels/frames) via
  *    pipeline.expr.AudioExprs; compressed formats (mp3/ogg/aac) have no
  *    JDK reader and fall through to not-ok;
- *  - video: STUBBED behind [[Codecs]] with a deterministic fake (no video
- *    libraries in this container or the JDK) — swap for a real binding
- *    (e.g. JavaCV) on a cluster; the seam and batch shape are unchanged.
+ *  - video: REAL for the CONTAINER HEADER — a pure-byte ISO-BMFF (MP4)
+ *    box walk (pipeline.expr.Mp4Exprs) reads moov/mvhd duration and
+ *    trak/tkhd dims, no codec library involved; FRAME pixel decode stays
+ *    a documented stub ([[sampleFrames]] slices bytes) — that genuinely
+ *    needs a codec binding (e.g. JavaCV) on a cluster.
  */
 object Multimodal {
 
@@ -33,7 +35,7 @@ object Multimodal {
 
   /** Per-kind codec dispatch: image = real JDK ImageIO header parse;
     * audio = real JDK javax.sound.sampled header parse (WAV/AIFF/AU);
-    * video = deterministic stub (documented seam). */
+    * video = real ISO-BMFF box walk (MP4 container header). */
   object Codecs {
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Long, Boolean) = {
       if (bytes == null || bytes.isEmpty) return (0, 0, 0L, false)
@@ -55,12 +57,12 @@ object Multimodal {
             case _ => (0, 0, 0L, false)
           }
         case "video" =>
-          // STUB — deterministic fake from a stable byte checksum; replace
-          // with a real media header parse (e.g. JavaCV) on a cluster
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum = (sum * 31 + (bytes(i) & 0xff)) & 0x7fffffff; i += 1 }
-          (0, 0, (sum % 600000) + 1, true)
+          // REAL: ISO-BMFF container-header box walk — duration from
+          // mvhd ticks/timescale, dims from tkhd; non-MP4/corrupt → not ok
+          Mp4HeaderExpr.header(bytes) match {
+            case Some((_, ts, dur, w, h)) => (w, h, dur * 1000L / ts, true)
+            case None => (0, 0, 0L, false)
+          }
         case _ => (0, 0, 0L, false)
       }
     }
@@ -166,6 +168,11 @@ object Multimodal {
   def wavAsset(id: Long, rate: Int, channels: Int, frames: Int): MediaAsset =
     MediaAsset(id, "audio",
       pipeline.expr.WavEncodeExpr.encode(rate, channels, frames))
+
+  /** Deterministic real-MP4 asset fixture (pure function of the id). */
+  def mp4Asset(id: Long, timescale: Int, durationTicks: Long,
+               w: Int, h: Int): MediaAsset =
+    MediaAsset(id, "video", Mp4EncodeExpr.encode(timescale, durationTicks, w, h))
 
   /** Column-only binary feature extraction (no codec needed): sizes and a
     * magic-byte sniff — fully portable to the SQL oracle. */

@@ -104,6 +104,11 @@ object TextAnalysis {
   def bpeTokenCountReal(textCol: Column): Column =
     pipeline.expr.Bpe.bpeCount(textCol)
 
+  /** Real BPE count against an explicit merge table — e.g.
+    * `Bpe.load("merges.txt")` for a production 32k–100k vocabulary. */
+  def bpeTokenCountReal(textCol: Column, table: pipeline.expr.BpeTable): Column =
+    pipeline.expr.Bpe.bpeCount(textCol, table)
+
   /** Quality features: lengths, token stats, punctuation + stopword ratios.
     * Ratios are int/int double divisions — bit-deterministic. */
   def qualityFeatures(textCol: Column): Column = {

@@ -49,8 +49,10 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learn("low low lowest lowest", 10) == Vector(
       ("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("low", "est")))
     // rerun-stable (pure function)
-    assert(Bpe.learn(Bpe.TrainingCorpus, 1024) == Bpe.Merges)
-    assert(Bpe.Merges.size > 100, s"fixture corpus learned ${Bpe.Merges.size} merges")
+    assert(Bpe.learn(Bpe.TrainingCorpus, 8192) == Bpe.Merges)
+    // round-5 widened corpus (stem×suffix morphology block): well past the
+    // round-4 ~500-merge table that under-merged real text
+    assert(Bpe.Merges.size > 700, s"fixture corpus learned ${Bpe.Merges.size} merges")
   }
 
   test("encode == independent reference applier on adversarial strings") {
@@ -108,5 +110,80 @@ class BpeSpec extends AnyFunSuite {
     val viaSql = s.sql("SELECT id, graft_bpe_count(text) AS real FROM bpe_t")
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
     assert(viaSql == out.map { case (k, v) => k -> v })
+  }
+
+  test("merges.txt: parse/render round-trip, headers+blanks skipped, typo fails fast") {
+    val m = Vector(("l", "o"), ("lo", "w"), ("e", "s"))
+    assert(Bpe.parseMerges(Bpe.renderMerges(m).linesIterator) == m)
+    // GPT-2-shaped content: version header, blank line, CRLF line ends
+    val gpt2ish = "#version: 0.2\nt h\n\nth e\r\ni n\n"
+    assert(Bpe.parseMerges(gpt2ish.linesIterator) ==
+      Vector(("t", "h"), ("th", "e"), ("i", "n")))
+    // malformed lines must fail with the line number, not truncate
+    val bad = intercept[IllegalArgumentException] {
+      Bpe.parseMerges(Seq("a b", "three part line", "c d"))
+    }
+    assert(bad.getMessage.contains("line 2"), bad.getMessage)
+    intercept[IllegalArgumentException] { Bpe.parseMerges(Seq("lonely")) }
+    intercept[IllegalArgumentException] { Bpe.parseMerges(Seq("a  b")) } // empty mid-field
+  }
+
+  test("loaded table: encoding matches the reference applier; fixture unaffected") {
+    // the fixture table exported to merges.txt and reloaded is the SAME
+    // tokenizer — parity on the adversarial strings via the independent
+    // applier, against the LOADED table's ranks
+    val dir = java.nio.file.Files.createTempDirectory("bpe-spec")
+    val path = dir.resolve("merges.txt")
+    java.nio.file.Files.writeString(path, Bpe.renderMerges(Bpe.Merges))
+    val loaded = Bpe.load(path.toString)
+    assert(loaded == Bpe.Fixture && loaded.merges == Bpe.Merges)
+    // a DIFFERENT vocabulary: hand-written production-style merges that the
+    // fixture corpus never learned (w-h, wh-o) — counts must differ from
+    // the fixture's where the vocabularies disagree
+    val custom = dir.resolve("custom.txt")
+    java.nio.file.Files.writeString(custom,
+      "#version: 0.2\nw h\nwh o\nq q\n")
+    val tbl = Bpe.load(custom.toString)
+    val adversarial = Seq("who", "whowho", "qqq", "the", "wh", "o", "")
+    adversarial.foreach { s =>
+      val viaRef = Bpe.PretokenRe.findAllIn(s)
+        .map(t => refEncodeLen(t, tbl.merges)).sum
+      assert(tbl.countTokens(s) == viaRef, s"loaded-table mismatch on '$s'")
+    }
+    assert(tbl.countTokens("who") == 1)   // w+h → wh, wh+o → who
+    assert(tbl.countTokens("qqq") == 2)   // qq + q
+    assert(Bpe.countTokens("who") > 1)    // fixture never learned 'who'
+    // loadCached: same instance per path, parsed once
+    assert(Bpe.loadCached(custom.toString) eq Bpe.loadCached(custom.toString))
+  }
+
+  test("Spark expression with a loaded table; SQL mergesPath arg; plan equality") {
+    val s = sc
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-spec-spark")
+    val path = dir.resolve("m.txt")
+    java.nio.file.Files.writeString(path, "w h\nwh o\n")
+    val tbl = Bpe.load(path.toString)
+    val d = Seq((1L, "who is who"), (2L, "the who"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = d.select(col("id"),
+      pipeline.ops.TextAnalysis.bpeTokenCountReal(col("text"), tbl).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(out(1L) == tbl.countTokens("who is who"))
+    assert(out(2L) == tbl.countTokens("the who"))
+    assert(out(3L) == null)
+    // SQL surface: optional merges-path literal
+    pipeline.expr.Functions.registerAll(s)
+    d.createOrReplaceTempView("bpe_load_t")
+    val viaSql = s.sql(
+      s"SELECT id, graft_bpe_count(text, '${path.toString}') AS n FROM bpe_load_t")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(viaSql == out)
+    // expression equality is by merge table: equal vocabularies unify
+    // (semanticEquals / exchange reuse), different vocabularies don't
+    import pipeline.expr.BpeCountExpr
+    val e = org.apache.spark.sql.GraftColumnBridge.expression(col("text"))
+    assert(BpeCountExpr(e, Bpe.load(path.toString)) == BpeCountExpr(e, tbl))
+    assert(BpeCountExpr(e, Bpe.Fixture) != BpeCountExpr(e, tbl))
   }
 }

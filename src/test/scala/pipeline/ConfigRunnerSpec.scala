@@ -327,6 +327,44 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minScore"))
   }
 
+  test("token_count transform: real/estimate/whitespace modes, mergesPath, bad config") {
+    val s = sc
+    import s.implicits._
+    val d = Seq(("u1", "the quick brown fox"), ("u2", "who is who"),
+      ("u3", null.asInstanceOf[String])).toDF("url", "text")
+    def run(opts: Map[String, String]) = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("token_count", opts))(d)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else r.get(2))).toMap
+    // default: real fixture-table BPE into n_tokens; null text → null
+    val real = run(Map.empty)
+    assert(real("u1") == pipeline.expr.Bpe.countTokens("the quick brown fox"))
+    assert(real("u3") == null)
+    // whitespace mode matches the ws splitter; custom output column
+    val ws = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("token_count",
+        Map("mode" -> "whitespace", "as" -> "n_ws")))(d)
+    assert(ws.columns.contains("n_ws"))
+    assert(ws.filter(col("url") === "u1").head().getAs[Int]("n_ws") == 4)
+    // estimate mode = pretokenizer regex count
+    assert(run(Map("mode" -> "estimate"))("u2") == 3)
+    // mergesPath: a loaded production-style vocabulary changes the counts
+    val dir = java.nio.file.Files.createTempDirectory("tc-merges")
+    val mpath = dir.resolve("merges.txt")
+    java.nio.file.Files.writeString(mpath, "#version: 0.2\nw h\nwh o\n")
+    val loaded = run(Map("mergesPath" -> mpath.toString))
+    assert(loaded("u2") == 1 + 2 + 1) // who=1 (w-h,wh-o), is=2, who=1
+    assert(loaded("u2") != real("u2"))
+    // config-shaped failures at COMPILE time, not mid-job
+    intercept[IllegalArgumentException] { run(Map("mode" -> "nope")) }
+    intercept[IllegalArgumentException] {
+      run(Map("mergesPath" -> "/does/not/exist.txt"))
+    }
+    intercept[IllegalArgumentException] {
+      run(Map("mode" -> "estimate", "mergesPath" -> mpath.toString))
+    }
+  }
+
   test("dedup_near transform: minhash→components→apply chain == programmatic") {
     val s = sc
     import s.implicits._

@@ -219,28 +219,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal decode: REAL JDK image+audio codecs + stub video + frames") {
+  test("multimodal decode: REAL JDK image+audio+mp4-header codecs + frames") {
     val s = sc
     import s.implicits._
     import pipeline.ops.Multimodal._
     val assets = Seq(
       pngAsset(1L, 320, 200),                                  // real PNG
-      MediaAsset(2L, "video", Array.tabulate(256)(i => (i * 7).toByte)),
+      mp4Asset(2L, timescale = 1000, durationTicks = 120000L, 640, 360),
       wavAsset(3L, rate = 16000, channels = 2, frames = 8000), // real WAV
       MediaAsset(4L, "image", Array.empty[Byte]),
       MediaAsset(5L, "image", Array.tabulate(64)(_.toByte)),   // not an image
-      MediaAsset(6L, "audio", Array.tabulate(32)(i => (i * 3).toByte)) // not audio
+      MediaAsset(6L, "audio", Array.tabulate(32)(i => (i * 3).toByte)), // not audio
+      MediaAsset(7L, "video", Array.tabulate(256)(i => (i * 7).toByte)) // not an mp4
     ).toDS()
     val meta = decodeMeta(assets).collect().sortBy(_.asset_id)
-    assert(meta.length == 6)
+    assert(meta.length == 7)
     // the image decode is REAL: exact header dims, not a checksum fake
     assert(meta(0).ok && meta(0).width == 320 && meta(0).height == 200)
-    assert(meta(1).ok && meta(1).duration_ms > 0)
+    // the video header decode is REAL now too: 120000 ticks @ 1000 = 120 s,
+    // dims from tkhd — a checksum fake cannot produce these
+    assert(meta(1).ok && meta(1).duration_ms == 120000L &&
+      meta(1).width == 640 && meta(1).height == 360)
     // the audio decode is REAL too: 8000 frames @ 16 kHz = exactly 500 ms
     assert(meta(2).ok && meta(2).duration_ms == 500L)
     assert(!meta(3).ok)
     assert(!meta(4).ok) // garbage bytes: no JDK reader claims them
     assert(!meta(5).ok) // garbage audio: header parse refuses, not a fake ok
+    assert(!meta(6).ok) // garbage video: the box walk refuses, not a fake ok
     // header round-trip of the WAV fixture is exact
     assert(pipeline.expr.WavHeaderExpr.header(
       pipeline.expr.WavEncodeExpr.encode(16000, 2, 8000))
