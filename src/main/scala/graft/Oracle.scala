@@ -563,6 +563,38 @@ object Oracle {
         |FROM g""".stripMargin
     },
 
+    "q_grok_postgres" -> {
+      // fields in group order: 1 ts, 2 tz, 3 pid, 4 user, 5 db, 6 level,
+      // 7 message. user/db nil on doc_id%3==0 → DuckDB '' → nullif
+      // ('user' is reserved in DuckDB → struct field named 'usr').
+      val re = pipeline.expr.Grok.compile("%{POSTGRESQLLOG}").regex
+        .replace("'", "''")
+      val line =
+        """'2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+          | ' 12:00:0' || CAST(doc_id % 10 AS VARCHAR) ||
+          | '.' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+          | ' UTC [' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '] ' ||
+          | CASE WHEN doc_id % 3 = 0 THEN ''
+          |      ELSE 'u' || CAST(doc_id % 50 AS VARCHAR) ||
+          |           '@db' || CAST(doc_id % 5 AS VARCHAR) || ' ' END ||
+          | CASE doc_id % 4 WHEN 0 THEN 'LOG' WHEN 1 THEN 'ERROR'
+          |      WHEN 2 THEN 'WARNING' ELSE 'STATEMENT' END ||
+          | ':  duration: ' || CAST(doc_id % 500 AS VARCHAR) ||
+          | ' ms  statement: SELECT ' || CAST(doc_id % 7 AS VARCHAR)""".stripMargin
+      s"""WITH lines AS (SELECT doc_id, $line AS l FROM documents),
+        |g AS (SELECT doc_id, regexp_extract(l, '$re',
+        |  ['ts','tz','pid','usr','db','lvl','msg']) AS s FROM lines)
+        |SELECT doc_id,
+        | s.ts AS g_ts,
+        | s.tz AS g_tz,
+        | CAST(s.pid AS INTEGER) AS g_pid,
+        | nullif(s.usr, '') AS g_user,
+        | nullif(s.db, '') AS g_db,
+        | s.lvl AS g_level,
+        | s.msg AS g_message
+        |FROM g""".stripMargin
+    },
+
     "q_grok_haproxy" -> {
       // fields in group order: 1 client_ip, 2 client_port, 3 accept_date,
       // 4 frontend, 5 backend, 6 server, 7 tq, 8 tw, 9 tc, 10 tr, 11 tt,

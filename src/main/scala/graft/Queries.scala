@@ -487,6 +487,42 @@ object Queries {
       g.getField("s5_msg").as("g_msg"))
   }
 
+  /** PostgreSQL server-log line (stock `%m [%p] ` prefix + optional
+    * `user@db `): user@db nil on doc_id%3==0 (background workers), level
+    * cycles LOG/ERROR/WARNING/STATEMENT. Every piece a pure function of
+    * doc_id. */
+  def postgresLine: org.apache.spark.sql.Column = concat(
+    lit("2026-01-0"), (pmod(col("doc_id"), lit(9L)) + 1).cast("string"),
+    lit(" 12:00:0"), pmod(col("doc_id"), lit(10L)).cast("string"),
+    lit("."), lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+    lit(" UTC ["), (pmod(col("doc_id"), lit(9000L)) + 1000L).cast("string"),
+    lit("] "),
+    when(pmod(col("doc_id"), lit(3L)) === 0, lit(""))
+      .otherwise(concat(lit("u"), pmod(col("doc_id"), lit(50L)).cast("string"),
+        lit("@db"), pmod(col("doc_id"), lit(5L)).cast("string"), lit(" "))),
+    when(pmod(col("doc_id"), lit(4L)) === 0, lit("LOG"))
+      .when(pmod(col("doc_id"), lit(4L)) === 1, lit("ERROR"))
+      .when(pmod(col("doc_id"), lit(4L)) === 2, lit("WARNING"))
+      .otherwise(lit("STATEMENT")),
+    lit(":  duration: "), pmod(col("doc_id"), lit(500L)).cast("string"),
+    lit(" ms  statement: SELECT "), pmod(col("doc_id"), lit(7L)).cast("string"))
+
+  /** Grok classic composition #5: `%{POSTGRESQLLOG}` — the database server
+    * log family (stock log_line_prefix), with the optional user@db prefix
+    * exercising nil-group parity on both engines. */
+  def qGrokPostgres(s: SparkSession, dir: String): DataFrame = {
+    val g = pipeline.expr.Grok.extract(postgresLine, "%{POSTGRESQLLOG}")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      g.getField("pg_ts").as("g_ts"),
+      g.getField("pg_tz").as("g_tz"),
+      g.getField("pg_pid").as("g_pid"),
+      g.getField("pg_user").as("g_user"),
+      g.getField("pg_db").as("g_db"),
+      g.getField("pg_level").as("g_level"),
+      g.getField("pg_message").as("g_message"))
+  }
+
   /** HAProxy httplog line synthesized from doc columns (every field a pure
     * function of doc_id, request tail from the alnum-cleaned text). */
   def haproxyLine: org.apache.spark.sql.Column = concat(

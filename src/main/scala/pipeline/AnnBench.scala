@@ -68,6 +68,53 @@ object AnnBench {
       df.select("qid", "cid").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
+    // --mode amortize: the stored-assignment study — the round-4 recall
+    // study MEASURED that corpus cell assignment (O(N·nCells) argmin)
+    // dominates single-batch IVF query cost and asserted it amortizes at
+    // production; this charges assignment ONCE (written to parquet, the
+    // stored-partition-column analog) and times Q successive query batches
+    // against the stored frame vs recomputing assignment per batch.
+    if (conf.get("--mode").contains("amortize")) {
+      val nBatches = conf.getOrElse("--batches", "5").toInt
+      for (nCells <- Seq(16, 64, 256)) {
+        val cents = Similarity.fitCentroids(corpus, "id", "vec", nCells,
+          maxIter = 5, samplePercent = if (n > 200000) 5 else 100)
+        val assignedPath = s"$input-assigned-c$nCells"
+        val a0 = System.nanoTime()
+        Similarity.assignCells(corpus, "id", "vec", cents)
+          .write.mode("overwrite").parquet(assignedPath)
+        val assignSec = (System.nanoTime() - a0) / 1e9
+        val assigned = spark.read.parquet(assignedPath)
+        def batchQueries(b: Int) = corpus
+          .filter(col("id") >= b.toLong * nQueries && col("id") < (b + 1).toLong * nQueries)
+        // unmeasured warm-up: both plan shapes once, so codegen/JIT and
+        // the parquet footer reads don't land on the first timed batch
+        Similarity.ivfTopKAssigned(assigned, batchQueries(nBatches),
+          "id", "vec", k, nProbe = 2, cents).count()
+        Similarity.ivfTopKWithCentroids(corpus, batchQueries(nBatches),
+          "id", "vec", k, nProbe = 2, cents).count()
+        // charge assignment once, then Q batches over the stored frame
+        val storedSecs = (0 until nBatches).map { b =>
+          val t = System.nanoTime()
+          Similarity.ivfTopKAssigned(assigned, batchQueries(b),
+            "id", "vec", k, nProbe = 2, cents).count()
+          (System.nanoTime() - t) / 1e9
+        }
+        // the unamortized twin recomputes the corpus assignment per batch
+        val recomputeSecs = (0 until nBatches).map { b =>
+          val t = System.nanoTime()
+          Similarity.ivfTopKWithCentroids(corpus, batchQueries(b),
+            "id", "vec", k, nProbe = 2, cents).count()
+          (System.nanoTime() - t) / 1e9
+        }
+        val sAvg = storedSecs.sum / nBatches
+        val rAvg = recomputeSecs.sum / nBatches
+        println(f"""{"bench":"ann_amortize","rows":$n,"nCells":$nCells,"batches":$nBatches,"queries_per_batch":$nQueries,"assign_sec":$assignSec%.2f,"stored_batch_sec":$sAvg%.2f,"recompute_batch_sec":$rAvg%.2f,"amortized_total_sec":${assignSec + storedSecs.sum}%.2f,"recompute_total_sec":${recomputeSecs.sum}%.2f}""")
+      }
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val truth = topkMap(
       Similarity.bruteTopK(corpus, queries, "id", "vec", k))

@@ -65,6 +65,65 @@ object DedupBench {
       return
     }
 
+    // --mode skew: the hot-digest straggler drill — the round-3/4 fixes to
+    // paragraphDedup and tfidfTopK claim "no task ever sees a hot key's
+    // full row set"; this MEASURES it. Two corpora at the same N:
+    //   uniform — the plain webtext fixture;
+    //   hot     — ~30% of docs share ONE 16-word boilerplate paragraph
+    //             (one md5 digest carried by 0.3·N exploded rows) and EVERY
+    //             doc ends with 10 stop terms (df = N join keys for tfidf).
+    // Per op we report wall sec AND the MAX single-task time: a skew-unsafe
+    // plan shows up as max_task ≈ wall (one straggler doing all the work),
+    // a combinable plan keeps max_task flat between uniform and hot.
+    if (conf.get("--mode").contains("skew")) {
+      import pipeline.ops.CorpusRefine
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskInfo != null)
+            maxTask.getAndUpdate(m => math.max(m, e.taskInfo.duration))
+      })
+      def timeSkew(name: String, corpus: String)(f: => Long): Unit = {
+        maxTask.set(0L)
+        val t0 = System.nanoTime()
+        val r = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener bus drains asynchronously
+        println(f"""{"bench":"skew","op":"$name","corpus":"$corpus","rows":$n,"sec":$sec%.2f,"max_task_sec":${maxTask.get() / 1e3}%.2f,"result_rows":$r}""")
+      }
+      // 16 words = exactly two k=8 chunks, so the hot share yields two
+      // ubiquitous digests; stop terms give tfidf ten df=N join keys
+      val boiler = "subscribe to our newsletter for updates and follow " +
+        "us on all social media channels every single day"
+      val stops = "the of and to in is was for on as"
+      def corpus(skewed: Boolean): org.apache.spark.sql.DataFrame = {
+        val base = Webtext.df(spark, n, 64)
+          .select(xxhash64(col("url")).as("id"), col("text"))
+        if (!skewed) base
+        else base.select(col("id"),
+          concat(
+            when(pmod(col("id"), lit(10L)) < 3, lit(boiler + " ")).otherwise(lit("")),
+            col("text"), lit(" " + stops)).as("text"))
+      }
+      Seq(false, true).foreach { skewed =>
+        val label = if (skewed) "hot" else "uniform"
+        val c = corpus(skewed).cache()
+        c.count() // materialize outside the timings
+        timeSkew("paragraph_dedup", label)(
+          CorpusRefine.paragraphDedup(c, "id", "text", k = 8).count())
+        timeSkew("paragraph_apply", label)(
+          CorpusRefine.paragraphDedupApply(c, "id", "text", k = 8).count())
+        timeSkew("tfidf_uncapped", label)(
+          CorpusRefine.tfidfTopK(c, "id", "text", k = 5).count())
+        timeSkew("tfidf_capped", label)(
+          CorpusRefine.tfidfTopK(c, "id", "text", k = 5,
+            maxDocFreq = math.max(n / 5, 1L)).count())
+        c.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     // --mode corpus: the corpus-refinement family at scale (url column kept)
     if (conf.get("--mode").contains("corpus")) {
       import pipeline.ops.CorpusRefine

@@ -110,7 +110,40 @@ object Grok {
     "SYSLOG5424LINE" ->
       ("<%{INT:s5_pri:int}>%{INT:s5_ver:int} %{TIMESTAMP_ISO8601:s5_ts} " +
         "%{NOTSPACE:s5_host} %{NOTSPACE:s5_app} (?:-|%{NOTSPACE:s5_proc}) " +
-        "%{NOTSPACE:s5_msgid} (?:-|%{SYSLOG5424SD:s5_sd}) %{GREEDYDATA:s5_msg}"))
+        "%{NOTSPACE:s5_msgid} (?:-|%{SYSLOG5424SD:s5_sd}) %{GREEDYDATA:s5_msg}"),
+    // ---- PostgreSQL server log: the stock `log_line_prefix = '%m [%p] '`
+    // shape (millisecond timestamp + TZ abbreviation + backend pid),
+    // optionally `user@database ` (the '%u@%d ' prefix amendment admins
+    // add first), then the level-tagged message. The optional user@db
+    // group nils BOTH fields on system/background lines.
+    "DATESTAMP_PG" -> "%{YEAR}-[0-9]{2}-[0-9]{2} %{TIME}\\.[0-9]{3}",
+    "TZ" -> "[A-Z]{2,5}",
+    "PGLEVEL" ->
+      "(?:DEBUG[1-5]?|INFO|NOTICE|WARNING|ERROR|LOG|FATAL|PANIC|STATEMENT|DETAIL|HINT|CONTEXT)",
+    "POSTGRESQLLOG" ->
+      ("%{DATESTAMP_PG:pg_ts} %{TZ:pg_tz} \\[%{INT:pg_pid:int}\\] " +
+        "(?:%{USER:pg_user}@%{PROG:pg_db} )?%{PGLEVEL:pg_level}:\\s+" +
+        "%{GREEDYDATA:pg_message}"),
+    // ---- Java application logs. SINGLE-LINE CONTRACT (documented): every
+    // source in this pipeline delivers one event per row (journald/file/
+    // scanner are line-oriented), so a multi-line throwable arrives as its
+    // header row plus one row PER FRAME — JAVATHROWABLE parses the header,
+    // JAVASTACKTRACEPART each `at ...` frame; re-associating frames with
+    // their header is a downstream stateful concern (sessionize-by-pid),
+    // deliberately NOT folded into the regex (a joining regex would need
+    // multi-line records the sources never produce).
+    "JAVACLASS" -> "(?:[a-zA-Z$_][a-zA-Z$_0-9]*\\.)+[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAMETHOD" -> "(?:<(?:cl)?init>|[a-zA-Z$_][a-zA-Z$_0-9]*)",
+    "JAVAFILE" -> "[A-Za-z0-9_$.-]+",
+    "JAVASTACKTRACEPART" ->
+      ("\\s*at %{JAVACLASS:jst_class}\\.%{JAVAMETHOD:jst_method}" +
+        "\\((?:Native Method|Unknown Source|%{JAVAFILE:jst_file}(?::%{INT:jst_line:int})?)\\)"),
+    "JAVATHROWABLE" ->
+      "(?:Caused by: )?%{JAVACLASS:jt_exception}(?::\\s+%{GREEDYDATA:jt_message})?",
+    // log4j/logback default-ish pattern: ts [thread] LEVEL logger - message
+    "LOG4JLINE" ->
+      ("%{TIMESTAMP_ISO8601:l4_ts} \\[%{DATA:l4_thread}\\] %{LOGLEVEL:l4_level}\\s+" +
+        "%{JAVACLASS:l4_logger} - %{GREEDYDATA:l4_message}"))
 
   final case class Field(name: String, typ: String) {
     def dataType: DataType = typ match {

@@ -301,6 +301,19 @@ object CorpusRefine {
       .as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
+    // df attach = the BARE term equijoin, deliberately. A salted variant
+    // (probe salted by hash(id), df side exploded ×32) was built and
+    // MEASURED on the hot-corpus drill (1M docs, 10 df=N stop terms per
+    // doc, 916k distinct terms): bare join 17.0 s wall / 3.96 s max task —
+    // no straggler — vs salted 29.3 s / 11.1 s, because replicating a
+    // web-scale vocabulary (one df row per DISTINCT term) ×salt adds more
+    // shuffle volume (~29M rows here) than the sub-threshold skew costs.
+    // Salting is dominated in both regimes: small vocabularies auto-
+    // broadcast under AQE (no term shuffle at all), and a stop term whose
+    // partition outgrows AQE's skew threshold at true corpus scale is
+    // split by AQE's skewed-join rule (equijoin, unlike a term-partitioned
+    // window — the reason df is a join here in the first place). The
+    // structural kill switch for ranking use-cases stays `maxDocFreq`.
     pairs.join(dfKept, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",

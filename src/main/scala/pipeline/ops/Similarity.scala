@@ -105,25 +105,50 @@ object Similarity {
    */
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
                            idCol: String, vecCol: String, k: Int, nProbe: Int,
-                           centroids: Seq[Seq[Float]]): DataFrame = {
-    val nCells = centroids.size
+                           centroids: Seq[Seq[Float]]): DataFrame =
+    ivfTopKAssigned(assignCells(corpus, idCol, vecCol, centroids),
+      queries, idCol, vecCol, k, nProbe, centroids)
+
+  /** cells ranked per row: sort struct(-cos, cell) ascending ≡ cos desc,
+    * cell asc — deterministic ties, identical on the SQL-oracle side. */
+  private def rankedCells(v: Column, centroids: Seq[Seq[Float]]): Column = {
     val centLit = typedLit(centroids)
-    // cells ranked per row: sort struct(-cos, cell) ascending ≡ cos desc,
-    // cell asc — deterministic ties, identical on the SQL-oracle side
-    def rankedCells(v: Column): Column =
-      array_sort(transform(sequence(lit(0), lit(nCells - 1)),
-        i => struct(
-          (-pipeline.expr.PortableExprs.cosine(v, get(centLit, i))).as("neg"),
-          i.cast("int").as("cell"))))
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .withColumn("cell", get(rankedCells(col("cv")), lit(0)).getField("cell"))
+    array_sort(transform(sequence(lit(0), lit(centroids.size - 1)),
+      i => struct(
+        (-pipeline.expr.PortableExprs.cosine(v, get(centLit, i))).as("neg"),
+        i.cast("int").as("cell"))))
+  }
+
+  /**
+   * Corpus cell assignment as a PERSISTABLE frame `(cid, cv, cell)` — one
+   * narrow per-row argmin pass (the centroid list rides the plan as a
+   * literal). At production scale this runs ONCE per (corpus, centroid
+   * generation) and is STORED — cell as a partition column of the vector
+   * table — so per-query-batch cost excludes the O(N·nCells) assignment
+   * scan and cell-pruned reads skip non-probed cells at the source.
+   * Amortization measured in pipeline.AnnBench `--mode amortize` →
+   * BASELINE.md.
+   */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[Seq[Float]]): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cell",
+        get(rankedCells(col("cv"), centroids), lit(0)).getField("cell"))
+
+  /** IVF top-k over a PRE-ASSIGNED corpus (the [[assignCells]] shape,
+    * typically read back from storage): only the query batch pays the
+    * centroid scoring; the corpus side is a plain cell equijoin. */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int, nProbe: Int,
+                      centroids: Seq[Seq[Float]]): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cell",
-        explode(transform(slice(rankedCells(col("qv")), 1, nProbe),
+        explode(transform(slice(rankedCells(col("qv"), centroids), 1, nProbe),
           s => s.getField("cell"))))
     // a corpus row lives in exactly ONE cell and probe cells are distinct,
     // so (qid, cid) pairs are unique — no dedup pass needed
-    val scored = broadcast(q).join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+    val scored = broadcast(q).join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
       .withColumn("cos", pipeline.expr.PortableExprs.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,173 @@
+package pipeline.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming APPROXIMATE near-duplicate dedup — the streaming twin of the
+ * batch `dedup_near` chain (minhashLsh → connectedComponents → drop
+ * non-representatives, pipeline.config.TransformCompiler), which is
+ * batch-only because the transitive closure iterates with driver-side
+ * convergence checks.
+ *
+ * Single-pass form: each document claims its MinHash LSH band keys
+ * (IDENTICAL band derivation to Dedup.minhashLsh — md5 of each
+ * signature slice — so the collision structure is bit-for-bit the batch
+ * one); a band key's FIRST claimant (event-time order within a
+ * micro-batch, state across micro-batches) owns it, and a document is
+ * KEPT iff it owns every band it claims — i.e. dropped iff ANY of its
+ * bands was already claimed by a different document, exactly the
+ * pairwise edge rule that feeds the batch closure. State is one entry
+ * per distinct band key inside the watermark horizon (a 64-bit owner id
+ * keyed by a 32-hex-char band key — never text), expired by event-time
+ * timeout.
+ *
+ * What the approximation MISSES vs the batch chain (documented, pinned
+ * in StreamingSpec):
+ *
+ *  - cross-band TRANSITIVE merges: if A and B share no band but C
+ *    bridges them (A~C on one band, B~C on another), the batch closure
+ *    keeps ONE of {A,B,C}; the streaming form keeps A and B (neither
+ *    collides with an earlier doc) and drops only C. Kept count per
+ *    component = number of arrival-order "roots", not 1.
+ *  - KEEPER IDENTITY: the batch keeper is the component's minimum hash
+ *    id; the streaming keeper is the FIRST-ARRIVED doc. Same kept
+ *    COUNT on collision-clique components (e.g. exact-duplicate
+ *    classes), possibly different representatives.
+ *  - HORIZON: duplicates farther apart than the watermark delay than
+ *    their original re-enter (state expired) — the dedupDocs contract.
+ *
+ * Like the batch transform, rows that cannot carry a signature (null
+ * text, < nGram words → null sig, or null event time) BYPASS: they are
+ * emitted with ok=true, band=-1 and never enter the band state (the
+ * never-vanish guarantee). Identical rows (same url/warc_ts/source/text
+ * → same 64-bit node id) are kept or dropped TOGETHER, as in batch.
+ *
+ * Cost note vs batch: the batch form shuffles bare ids+signatures; here
+ * the band explode carries the doc payload once (text rides only the
+ * band-0 row; the other bands are skinny) through the one stateful
+ * shuffle, and [[finalize]] reassembles per micro-batch — a per-doc
+ * reduce that is batch-local because all of a doc's band rows explode
+ * inside one micro-batch.
+ *
+ * Usage: `verdicts(stream).writeStream.foreachBatch { (b, _) =>
+ * NearDedup.finalize(b.toDF).write...(…) }` — the finalize step cannot
+ * live inside the streaming plan (it would be a second stateful
+ * aggregate; Spark's multi-stateful support does not cover FMGWS
+ * chains).
+ */
+object NearDedup {
+
+  /** One exploded band claim; text rides only band 0. */
+  final case class BandRow(nid: Long, band: Int, bkey: String,
+                           url: String, warc_ts: java.sql.Timestamp,
+                           text: String, lang: String, source: String)
+
+  /** Band-key state: the owning node id. (The timeout timestamp lives in
+    * the GroupState metadata, not here.) */
+  final case class BandState(firstNid: Long)
+
+  /** Per-band verdict: ok = this doc owns the band. band = -1 marks a
+    * bypass row (no signature / no event time), always ok. */
+  final case class Verdict(nid: Long, band: Int, ok: Boolean,
+                           url: String, warc_ts: java.sql.Timestamp,
+                           text: String, lang: String, source: String)
+
+  /**
+   * The stateful pass: doc stream (url, warc_ts, text, lang[, source]) →
+   * per-band [[Verdict]] stream. Pair with [[finalize]] inside
+   * foreachBatch for the kept-docs frame.
+   */
+  def verdicts(docStream: DataFrame, delayMs: Long = 3600000L,
+               nGram: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): Dataset[Verdict] = {
+    require(delayMs >= 0, s"delayMs must be >= 0, got $delayMs")
+    require(nGram >= 1 && bands >= 1 && rowsPerBand >= 1,
+      s"bad nGram/bands/rowsPerBand: $nGram/$bands/$rowsPerBand")
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+    val src =
+      if (docStream.columns.contains("source")) docStream
+      else docStream.withColumn("source", lit(null).cast("string"))
+    val base = src
+      .select(col("url"), col("warc_ts"), col("text"), col("lang"), col("source"))
+      // node id: the batch dedup_near key (TransformCompiler) — identical
+      // rows share one id and one fate
+      .withColumn("_nid", xxhash64(col("url"), col("warc_ts").cast("string"),
+        col("source"), col("text")))
+      // null sig ⟺ null text or too few shingles — the batch no-pairs rows
+      .withColumn("_sig", when(col("warc_ts").isNotNull,
+        pipeline.expr.PortableExprs.minhashSig(col("text"), nGram, numHashes)))
+      .withWatermark("warc_ts", s"$delayMs milliseconds")
+    val banded = base.filter(col("_sig").isNotNull)
+      .select(col("_nid"), col("url"), col("warc_ts"), col("text"),
+        col("lang"), col("source"),
+        // the EXACT batch band keys: md5 of each rowsPerBand-slice
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand))).cast("binary")))).as(Seq("band", "bkey")))
+      .select(col("_nid").as("nid"), col("band"), col("bkey"),
+        col("url"), col("warc_ts"),
+        when(col("band") === 0, col("text")).as("text"),
+        col("lang"), col("source"))
+      .as[BandRow]
+    val judged = banded
+      .groupByKey(r => r.bkey)
+      .flatMapGroupsWithState[BandState, Verdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[BandRow], state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic intra-batch order: event time, then node id —
+            // the first row claims a previously unowned band
+            val rs = rows.toVector.sortBy(r => (r.warc_ts.getTime, r.nid))
+            val winner = state.getOption.map(_.firstNid).getOrElse(rs.head.nid)
+            var maxTs = 0L
+            val out = rs.map { r =>
+              maxTs = math.max(maxTs, r.warc_ts.getTime)
+              Verdict(r.nid, r.band, r.nid == winner,
+                r.url, r.warc_ts, r.text, r.lang, r.source)
+            }
+            state.update(BandState(winner))
+            // expire once the watermark passes the horizon behind the
+            // newest claim (must stay strictly ahead of the watermark)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + delayMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+    val bypass = base.filter(col("_sig").isNull)
+      .select(col("_nid").as("nid"), lit(-1).as("band"), lit(true).as("ok"),
+        col("url"), col("warc_ts"), col("text"), col("lang"), col("source"))
+      .as[Verdict]
+    judged.unionByName(bypass)
+  }
+
+  /**
+   * Micro-batch finalize (call inside foreachBatch): per-doc reduce of the
+   * band verdicts — kept iff ok on EVERY band — plus the bypass rows
+   * verbatim. Batch-local by construction: a doc's band rows cannot split
+   * across micro-batches (they explode from one input row).
+   */
+  def finalize(verdicts: DataFrame): DataFrame = {
+    val real = verdicts.filter(col("band") >= 0)
+      .groupBy(col("nid"))
+      .agg(min(when(col("ok"), lit(1)).otherwise(lit(0))).as("_all"),
+        first(col("url")).as("url"),
+        first(col("warc_ts")).as("warc_ts"),
+        first(col("text"), ignoreNulls = true).as("text"),
+        first(col("lang")).as("lang"),
+        first(col("source")).as("source"),
+        // identical rows share a nid; re-emit each copy (band-0 rows carry
+        // the text, one per input copy) — the batch never-collapse rule
+        sum(when(col("band") === 0, lit(1)).otherwise(lit(0))).as("_copies"))
+      .filter(col("_all") === 1)
+      .select(col("url"), col("warc_ts"), col("text"), col("lang"), col("source"),
+        explode(array_repeat(lit(1), col("_copies").cast("int"))).as("_one"))
+      .drop("_one")
+    verdicts.filter(col("band") < 0)
+      .select("url", "warc_ts", "text", "lang", "source")
+      .unionByName(real)
+  }
+}

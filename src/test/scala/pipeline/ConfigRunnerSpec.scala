@@ -440,6 +440,60 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(near(exact(d)).count() == 1L)
   }
 
+  test("examples/corpus_assembly_config.json: flagship chain golden, per-stage counts") {
+    val s = sc
+    val cfgPath = "examples/corpus_assembly_config.json"
+    assert(new java.io.File(cfgPath).exists(), s"missing $cfgPath")
+    val spec = PipelineConfig.load(cfgPath, Map.empty)
+    // pin the chain CONTENT (order + options), not just that it parses —
+    // this is the committed flagship example; silent edits must fail here
+    assert(spec.transforms.map(_.kind) == Seq("pii_redact", "dedup_exact",
+      "dedup_near", "lang_allowlist", "quality_filter", "repetition_filter",
+      "stratified_sample", "token_count", "truncate"))
+    assert(spec.transforms(2).options == Map("nGram" -> "3", "bands" -> "4",
+      "rowsPerBand" -> "4", "maxBucketSize" -> "10000"))
+    assert(spec.sinks.map(_.kind) == Seq("s3"))
+    val input = ConfigRunner.fixtureInput(s, spec.sources.head, N, 4)
+    // per-stage row counts: fold TransformCompiler.one over the same
+    // fanned + bypass-marked frame ConfigRunner.routed builds internally
+    val fanned = pipeline.sources.Sources.fanIn(
+      Seq(ConfigRunner.fromSource(spec.sources.head, input)))
+      .withColumn(pipeline.config.TransformCompiler.BypassCol,
+        col("text").isNull && col("url").isNull && col("lang").isNull)
+    val stages = spec.transforms.scanLeft(("fanin",
+      fanned: org.apache.spark.sql.DataFrame)) { case ((_, df), t) =>
+      (t.kind, pipeline.config.TransformCompiler.one(t)(df))
+    }.toIndexedSeq
+    val counts = stages.map { case (k, df) => k -> df.count() }
+    def at(kind: String): Long = counts.find(_._1 == kind).get._2
+    // annotation stages preserve row counts; filter stages only shrink —
+    // and the fixture guarantees STRICT shrinkage where seeded (~2% exact
+    // dups; ja/es/und rows outside the allowlist; en sampled at 60%)
+    assert(at("pii_redact") == at("fanin"))
+    assert(at("dedup_exact") < at("pii_redact"))
+    assert(at("dedup_near") <= at("dedup_exact"))
+    assert(at("lang_allowlist") < at("dedup_near"))
+    assert(at("quality_filter") <= at("lang_allowlist"))
+    assert(at("repetition_filter") <= at("quality_filter"))
+    assert(at("stratified_sample") < at("repetition_filter"))
+    assert(at("token_count") == at("stratified_sample"))
+    assert(at("truncate") == at("token_count"))
+    // token_count annotated real BPE counts on every decoded surviving row
+    val annotated = stages.find(_._1 == "token_count").get._2
+    assert(annotated.columns.contains("n_tokens"))
+    assert(annotated.filter(col("text").isNotNull &&
+      col("n_tokens").isNull).count() == 0)
+    // end-to-end: the config run routes exactly the chain's survivors —
+    // one destination, so routed rows == final chain rows, with both the
+    // s3 sink and the deadletter (bypass + parse-corrupt) populated
+    val routed = ConfigRunner.routed(spec, Map(spec.sources.head.id -> input))
+    assert(routed.count() == counts.last._2)
+    val bySink = routed.groupBy(col("sink")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySink.keySet == Set("shards", "deadletter") &&
+      bySink.values.forall(_ > 0), s"got $bySink")
+  }
+
   test("conflicting grok schemas across sources fail with a config-shaped error") {
     val s = sc
     val spec = pipeline.config.PipelineSpec(

@@ -125,6 +125,70 @@ class GrokSpec extends AnyFunSuite {
     assert(ho.getString(23) == "GET /x HTTP/1.1")
   }
 
+  test("classic compositions #2: POSTGRESQLLOG and the Java family") {
+    val s = sc
+    import s.implicits._
+    // postgres: stock '%m [%p] ' prefix, optional user@db, level-tagged
+    val p = Grok.compile("%{POSTGRESQLLOG}")
+    assert(p.fields.map(_.name) == Seq("pg_ts", "pg_tz", "pg_pid", "pg_user",
+      "pg_db", "pg_level", "pg_message"))
+    val pg = Seq(
+      "2026-01-03 12:00:07.123 UTC [4242] alice@orders LOG:  duration: 12 ms",
+      "2026-01-03 12:00:08.456 CEST [99] ERROR:  relation \"x\" does not exist",
+      "2026-01-03 12:00:09.000 UTC [7] bob@app STATEMENT:  SELECT 1",
+      "not a postgres line").toDF("line")
+    val po = pg.select(Grok.extract(col("line"), "%{POSTGRESQLLOG}").as("g")).collect()
+    val p0 = po(0).getStruct(0)
+    assert(p0.getString(0) == "2026-01-03 12:00:07.123" && p0.getString(1) == "UTC")
+    assert(p0.getInt(2) == 4242 && p0.getString(3) == "alice" &&
+      p0.getString(4) == "orders")
+    assert(p0.getString(5) == "LOG" && p0.getString(6) == "duration: 12 ms")
+    val p1 = po(1).getStruct(0)
+    // background line: no user@db → both fields nil, not misparsed
+    assert(p1.getString(1) == "CEST" && p1.getInt(2) == 99 &&
+      p1.isNullAt(3) && p1.isNullAt(4) && p1.getString(5) == "ERROR")
+    assert(po(2).getStruct(0).getString(5) == "STATEMENT")
+    assert(po(3).isNullAt(0))
+    // Java stack frames: SINGLE-LINE contract — one row per `at ...` frame
+    // (line-oriented sources never deliver multi-line records; header↔frame
+    // re-association is a downstream stateful concern, documented in Grok)
+    val j = Grok.compile("%{JAVASTACKTRACEPART}")
+    assert(j.fields.map(_.name) == Seq("jst_class", "jst_method", "jst_file", "jst_line"))
+    val frames = Seq(
+      "\tat com.example.svc.Handler.handle(Handler.java:42)",
+      "\tat java.base/x", // malformed → null (checked below via no-match)
+      "\tat com.example.Gen$1.<init>(Native Method)",
+      "\tat org.x.Y.run(Unknown Source)").toDF("line")
+    val jo = frames.select(Grok.extract(col("line"), "%{JAVASTACKTRACEPART}").as("g")).collect()
+    val j0 = jo(0).getStruct(0)
+    assert(j0.getString(0) == "com.example.svc.Handler" && j0.getString(1) == "handle")
+    assert(j0.getString(2) == "Handler.java" && j0.getInt(3) == 42)
+    assert(jo(1).isNullAt(0))
+    val j2 = jo(2).getStruct(0)
+    assert(j2.getString(0) == "com.example.Gen$1" && j2.getString(1) == "<init>" &&
+      j2.isNullAt(2) && j2.isNullAt(3))
+    val j3 = jo(3).getStruct(0)
+    assert(j3.getString(1) == "run" && j3.isNullAt(2))
+    // throwable header lines, incl. the Caused-by continuation
+    val th = Seq(
+      "java.lang.IllegalStateException: boom at startup",
+      "Caused by: java.io.IOException",
+      "plain words only").toDF("line")
+    val to = th.select(Grok.extract(col("line"), "%{JAVATHROWABLE}").as("g")).collect()
+    assert(to(0).getStruct(0).getString(0) == "java.lang.IllegalStateException" &&
+      to(0).getStruct(0).getString(1) == "boom at startup")
+    assert(to(1).getStruct(0).getString(0) == "java.io.IOException" &&
+      to(1).getStruct(0).isNullAt(1))
+    assert(to(2).isNullAt(0))
+    // log4j/logback application line
+    val l4 = Seq("2026-01-03T09:15:00.123Z [worker-3] WARN  com.example.App - slow query")
+      .toDF("line")
+    val lo = l4.select(Grok.extract(col("line"), "%{LOG4JLINE}").as("g"))
+      .collect()(0).getStruct(0)
+    assert(lo.getString(1) == "worker-3" && lo.getString(2) == "WARN")
+    assert(lo.getString(3) == "com.example.App" && lo.getString(4) == "slow query")
+  }
+
   test("SQL surface graft_grok == Column API; config grok wiring") {
     val s = sc
     import s.implicits._

@@ -508,6 +508,152 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming config run must equal batch: $streamed vs $batch")
   }
 
+  test("streaming near-dup: reconciles with batch dedup_near on clique components") {
+    val s = sc
+    import s.implicits._
+    // duplicate CLASSES = docs sharing full text (every band collides);
+    // singletons use disjoint vocabularies (no band collides). On such
+    // clique-or-nothing structure the streaming single-pass form must keep
+    // EXACTLY one representative per class + all singletons + all bypass
+    // rows — the same CLASS STRUCTURE the batch closure computes (keeper
+    // identity differs by contract: first-arrival vs min hash id).
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = "red orange yellow green blue indigo violet crimson amber teal navy rose"
+    val t3 = "oak elm birch maple cedar willow aspen spruce fir larch rowan yew"
+    val t4 = "flour sugar butter yeast salt honey cocoa vanilla almond walnut raisin date"
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    def doc(url: String, sec: Int, text: String) =
+      (url, ts(sec), text, "en", "src")
+    val fileA = Seq(
+      doc("u/d1", 1, t1),
+      doc("u/d2", 2, t2), doc("u/d2b", 3, t2), // intra-batch dup: d2 earlier
+      doc("u/d3", 4, t3),
+      doc("u/d7", 5, t4), doc("u/d7", 5, t4),  // IDENTICAL rows: one nid
+      ("u/null-text", ts(6), null.asInstanceOf[String], "en", "src"),
+      ("u/null-ts", null.asInstanceOf[java.sql.Timestamp],
+        "tiny", "en", "src")) // 1 word < nGram → null sig → bypass too
+    val fileB = Seq(
+      doc("u/d4", 30, t1),  // dup of d1 across batches
+      doc("u/d5", 31, "quark lepton boson gluon photon neutrino muon tau hadron meson baryon spin"),
+      doc("u/d6", 32, t2))  // dup of d2 across batches
+    val landing = Files.createTempDirectory("graft-neardup-landing").toString
+    val schemaCols = Seq("url", "warc_ts", "text", "lang", "source")
+    // ONE part file per logical arrival: maxFilesPerTrigger=1 must see
+    // fileA strictly before fileB (multi-part writes split a batch
+    // nondeterministically by listing order)
+    fileA.toDF(schemaCols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    fileB.toDF(schemaCols: _*).coalesce(1).write.mode("append").parquet(landing)
+
+    val all = s.read.parquet(landing)
+    // fixture precondition: the band-collision graph is exactly the
+    // same-text cliques (disjoint vocabularies collide on no band)
+    val pairs = pipeline.ops.Dedup.minhashLsh(
+      all.filter(col("text").isNotNull && col("warc_ts").isNotNull)
+        .withColumn("id", xxhash64(col("url"), col("warc_ts").cast("string"),
+          col("source"), col("text"))),
+      "id", "text", nGram = 3, bands = 2, rowsPerBand = 4)
+    val idText = all.withColumn("id", xxhash64(col("url"),
+      col("warc_ts").cast("string"), col("source"), col("text")))
+      .select("id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(idText(r.getLong(0)) == idText(r.getLong(1)),
+        "band collisions must stay inside same-text classes")
+    }
+
+    val out = Files.createTempDirectory("graft-neardup-out").toString
+    val stream = s.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = pipeline.streaming.NearDedup
+      .verdicts(stream, delayMs = 86400000L, nGram = 3, bands = 2, rowsPerBand = 4)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
+        pipeline.streaming.NearDedup.finalize(b.toDF)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("gnd").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = s.read.parquet(out)
+    val keptUrls = kept.select("url").as[String].collect().sorted.toSeq
+    // first-arrival keeper per class + singletons + both identical copies
+    // + both bypass rows
+    assert(keptUrls == Seq("u/d1", "u/d2", "u/d3", "u/d5", "u/d7", "u/d7",
+      "u/null-text", "u/null-ts"), s"got $keptUrls")
+    // batch twin on the same frame: same kept COUNT and same kept TEXT
+    // multiset (clique structure ⇒ one representative per class; keeper
+    // identity is the documented difference)
+    val batchKept = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("dedup_near", Map(
+        "nGram" -> "3", "bands" -> "2", "rowsPerBand" -> "4")))(all)
+    assert(batchKept.count() == kept.count())
+    def textMultiset(df: org.apache.spark.sql.DataFrame) = df.select("text")
+      .collect().map(r => Option(r.getString(0)).getOrElse("<null>")).sorted.toSeq
+    assert(textMultiset(batchKept) == textMultiset(kept))
+  }
+
+  test("streaming near-dup: cross-band transitive merges are the documented miss") {
+    val s = sc
+    import s.implicits._
+    // craft a BRIDGE component with nGram=1, bands=2, rowsPerBand=1:
+    // find words wa, wb whose two permuted-hash mins INVERT (h0(wa) <
+    // h0(wb) but h1(wb) < h1(wa)); then A="wa", B="wb", C="wa wb" gives
+    // sig(C) = [h0(wa), h1(wb)] — C shares band 0 with A and band 1 with
+    // B, while A and B share nothing. Deterministic: Spark's hash is fixed.
+    val words = (1 to 40).map(i => s"w${i}q")
+    val sigs = words.toDF("w").select(col("w"),
+      pipeline.expr.PortableExprs.minhashSig(col("w"), 1, 2).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val pair = (for {
+      wa <- words; wb <- words if wa != wb
+      sa = sigs(wa); sb = sigs(wb)
+      if sa(0) < sb(0) && sb(1) < sa(1)
+    } yield (wa, wb)).headOption
+    assert(pair.isDefined, "no inverting word pair in the probe vocabulary")
+    val (wa, wb) = pair.get
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    val fileA = Seq(("u/A", ts(1), wa, "en", "src"), ("u/B", ts(2), wb, "en", "src"))
+    val fileB = Seq(("u/C", ts(30), s"$wa $wb", "en", "src"))
+    val landing = Files.createTempDirectory("graft-bridge-landing").toString
+    val cols = Seq("url", "warc_ts", "text", "lang", "source")
+    fileA.toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    fileB.toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    val all = s.read.parquet(landing)
+    // precondition: the collision graph is exactly A–C and B–C
+    val ids = all.withColumn("id", xxhash64(col("url"),
+      col("warc_ts").cast("string"), col("source"), col("text")))
+    val pairSet = pipeline.ops.Dedup.minhashLsh(ids, "id", "text",
+      nGram = 1, bands = 2, rowsPerBand = 1).count()
+    assert(pairSet == 2L, s"bridge fixture must yield exactly 2 pairs, got $pairSet")
+
+    val out = Files.createTempDirectory("graft-bridge-out").toString
+    val stream = s.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = pipeline.streaming.NearDedup
+      .verdicts(stream, delayMs = 86400000L, nGram = 1, bands = 2, rowsPerBand = 1)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
+        pipeline.streaming.NearDedup.finalize(b.toDF)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("gbr").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamingKept = s.read.parquet(out).select("url").as[String].collect().sorted.toSeq
+    val batchKept = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("dedup_near", Map(
+        "nGram" -> "1", "bands" -> "2", "rowsPerBand" -> "1")))(all).count()
+    // THE DOCUMENTED APPROXIMATION: the batch closure merges {A,B,C} into
+    // one component (keeps 1); the single-pass form keeps both arrival
+    // roots A and B and drops only the bridge C (keeps 2)
+    assert(streamingKept == Seq("u/A", "u/B"), s"got $streamingKept")
+    assert(batchKept == 1L)
+  }
+
   test("event-time window counts with watermark") {
     val s = sc
     val landing = Files.createTempDirectory("graft-landing3").toString
