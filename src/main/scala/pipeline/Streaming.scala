@@ -55,6 +55,11 @@ object Streaming {
    * silently treated as infinitely late once the watermark moves — the
    * same guard Batcher.flushes applies before ITS stateful op.
    *
+   * NEAR-duplicates: see pipeline.streaming.NearDedup — the approximate
+   * single-pass twin of the batch `dedup_near` chain (band-owner state +
+   * per-micro-batch finalize), with its divergences from the batch
+   * closure documented there.
+   *
    * State shape at scale: one digest per UNIQUE payload inside the
    * watermark horizon, expired as the watermark passes (bounded by
    * unique-rate × delay, not by traffic); only the 32-byte digest keys the

@@ -230,7 +230,12 @@ object TransformCompiler {
           // NOTE eager: connectedComponents iterates with driver-side
           // convergence checks, so this transform RUNS Spark jobs at
           // apply time — batch frames only (a streaming frame fails
-          // analysis inside the iteration, the dedup_exact behavior)
+          // analysis inside the iteration, the dedup_exact behavior).
+          // The STREAMING twin is pipeline.streaming.NearDedup (single-
+          // pass band-owner state + per-micro-batch finalize, documented
+          // approximation of the transitive closure) — it cannot live on
+          // this surface because its finalize step must run inside
+          // foreachBatch, after the stateful pass, not mid-chain.
           val pairs = pipeline.ops.Dedup.minhashLsh(
             sigSrc, "_nid", "text", nGram, bands, rows, maxBucket)
           val comps = pipeline.ops.Dedup.connectedComponents(pairs)

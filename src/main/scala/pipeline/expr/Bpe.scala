@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
  *    model file, no RNG, no network;
  *  - a LOADED table in the GPT-2 `merges.txt` format ([[Bpe.load]] /
  *    [[Bpe.parseMerges]]): one `left right` pair per line in rank order,
- *    `#`-prefixed header lines (`#version: 0.2`) and blanks skipped —
+ *    `#version` header lines and blanks skipped (ONLY those — real
+ *    GPT-2 vocabularies contain merges whose symbols start with '#') —
  *    how production vocabularies (32k–100k merges) enter the pipeline.
  *    The FORMAT is GPT-2's; the pretokenizer stays ours (char-level over
  *    [[Bpe.PretokenRe]] classes) — a verbatim byte-level GPT-2 file with
@@ -157,7 +158,8 @@ object Bpe {
 
   /** The embedded-fixture table (learned once per JVM, identical on every
     * executor) — the default everywhere no merges.txt is configured. */
-  lazy val Fixture: BpeTable = new BpeTable(learn(TrainingCorpus, 8192))
+  lazy val Fixture: BpeTable =
+    BpeTable.intern(new BpeTable(learn(TrainingCorpus, 8192)))
 
   /** Fixture merge list / rank lookup (back-compat aliases). */
   def Merges: Vector[(String, String)] = Fixture.merges
@@ -169,10 +171,14 @@ object Bpe {
 
   /**
    * Parse GPT-2 `merges.txt` content: one `left right` merge per line in
-   * rank order; `#`-prefixed lines and blank lines skip (the GPT-2 file
-   * opens with `#version: 0.2`). Malformed lines (not exactly two
-   * space-separated non-empty fields) fail fast with the line number —
-   * a vocabulary typo must not silently truncate the table.
+   * rank order; `#version`-prefixed header lines and blank lines skip
+   * (the GPT-2 file opens with `#version: 0.2`). ONLY the version header
+   * skips — real GPT-2-family vocabularies contain merges whose symbols
+   * START with '#' (`# #`, `## #` — the merges that build multi-# code
+   * tokens), and a blanket '#' comment rule would silently drop them,
+   * exactly the truncation this parser exists to refuse. Malformed lines
+   * (not exactly two space-separated non-empty fields) fail fast with
+   * the line number.
    */
   def parseMerges(lines: IterableOnce[String]): Vector[(String, String)] = {
     val out = Vector.newBuilder[(String, String)]
@@ -180,7 +186,7 @@ object Bpe {
     lines.iterator.foreach { raw =>
       ln += 1
       val line = raw.stripLineEnd
-      if (line.nonEmpty && !line.startsWith("#")) {
+      if (line.nonEmpty && !line.startsWith("#version")) {
         val parts = line.split(" ", -1)
         if (parts.length != 2 || parts(0).isEmpty || parts(1).isEmpty)
           throw new IllegalArgumentException(
@@ -203,7 +209,8 @@ object Bpe {
   def load(path: String): BpeTable = {
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
-    new BpeTable(parseMerges(scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala))
+    BpeTable.intern(new BpeTable(
+      parseMerges(scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala)))
   }
 
   /** [[load]] with a per-path cache: config compilation and SQL function
@@ -231,7 +238,7 @@ object Bpe {
       var bestAt = -1
       var j = 0
       while (j < syms.size - 1) {
-        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        val r = ranks.get(syms.get(j) + "\u0000" + syms.get(j + 1))
         if (r != null && r < bestRank) { bestRank = r; bestAt = j }
         j += 1
       }
@@ -275,12 +282,19 @@ object Bpe {
  */
 final class BpeTable(val merges: Vector[(String, String)]) extends Serializable {
 
+  /** Deserialization interns into the per-JVM cache: the table ships in
+    * every task binary, and WITHOUT interning each task would rebuild the
+    * transient ranks map (50k entries for a production vocabulary) and
+    * start a cold memo — the cross-task Zipf hit rate the 1M-doc drill
+    * measured depends on tasks sharing one instance per executor. */
+  private def readResolve: Any = BpeTable.intern(this)
+
   @transient lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       // first occurrence wins, like GPT-2's dict(zip(merges, range(n)))
       // would NOT — it keeps the last; rank order makes lower win anyway
-      if (!m.containsKey(l + " " + r)) m.put(l + " " + r, i)
+      if (!m.containsKey(l + "\u0000" + r)) m.put(l + "\u0000" + r, i)
     }
     m
   }
@@ -349,6 +363,16 @@ final class BpeTable(val merges: Vector[(String, String)]) extends Serializable 
   }
   override val hashCode: Int = merges.hashCode
   override def toString: String = s"BpeTable(${merges.size} merges)"
+}
+
+object BpeTable {
+  /** Per-JVM canonical instance per merge list ([[BpeTable.readResolve]]):
+    * bounded by the number of DISTINCT vocabularies in use (one or two in
+    * any real job), so no eviction. */
+  private val interned =
+    new java.util.concurrent.ConcurrentHashMap[Vector[(String, String)], BpeTable]()
+  def intern(t: BpeTable): BpeTable =
+    interned.computeIfAbsent(t.merges, _ => t)
 }
 
 /** text → real merge-table BPE token count, one tight per-row pass (the

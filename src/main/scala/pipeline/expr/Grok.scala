@@ -117,7 +117,10 @@ object Grok {
     // add first), then the level-tagged message. The optional user@db
     // group nils BOTH fields on system/background lines.
     "DATESTAMP_PG" -> "%{YEAR}-[0-9]{2}-[0-9]{2} %{TIME}\\.[0-9]{3}",
-    "TZ" -> "[A-Z]{2,5}",
+    // abbreviation (UTC/CEST) or the numeric offset postgres's %m stamps
+    // for zones WITHOUT an abbreviation (log_timezone=Asia/Kathmandu →
+    // '+0545') — abbreviation-only would null every field of such logs
+    "TZ" -> "(?:[A-Z]{2,5}|[+-][0-9]{2,4})",
     "PGLEVEL" ->
       "(?:DEBUG[1-5]?|INFO|NOTICE|WARNING|ERROR|LOG|FATAL|PANIC|STATEMENT|DETAIL|HINT|CONTEXT)",
     "POSTGRESQLLOG" ->

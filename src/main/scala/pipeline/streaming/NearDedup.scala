@@ -37,6 +37,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    classes), possibly different representatives.
  *  - HORIZON: duplicates farther apart than the watermark delay than
  *    their original re-enter (state expired) — the dedupDocs contract.
+ *  - LATE ROWS are ADMITTED: flatMapGroupsWithState on Spark 4.1.2 has
+ *    no late-input filter (measured and pinned in StreamingSpec, the
+ *    same result as the Batcher admission-invariance measurement), so a
+ *    sub-watermark backfill row is judged against CURRENT state — it may
+ *    be kept even where the batch closure over all time would have
+ *    dropped it (its original's band state can already have expired),
+ *    and its older event time must never shrink a band's horizon (the
+ *    monotone-timeout fold in the state function guarantees that).
  *
  * Like the batch transform, rows that cannot carry a signature (null
  * text, < nGram words → null sig, or null event time) BYPASS: they are
@@ -64,9 +72,11 @@ object NearDedup {
                            url: String, warc_ts: java.sql.Timestamp,
                            text: String, lang: String, source: String)
 
-  /** Band-key state: the owning node id. (The timeout timestamp lives in
-    * the GroupState metadata, not here.) */
-  final case class BandState(firstNid: Long)
+  /** Band-key state: the owning node id plus the NEWEST claim time seen —
+    * the timeout must never move backward (a late-but-valid claim with an
+    * older event time would otherwise SHORTEN the dedup horizon for
+    * everyone sharing the band). */
+  final case class BandState(firstNid: Long, maxSeenMs: Long)
 
   /** Per-band verdict: ok = this doc owns the band. band = -1 marks a
     * bypass row (no signature / no event time), always ok. */
@@ -90,22 +100,30 @@ object NearDedup {
     val src =
       if (docStream.columns.contains("source")) docStream
       else docStream.withColumn("source", lit(null).cast("string"))
+    // participation gate, expressed WITHOUT the signature: the native sig
+    // is null ⟺ the text has fewer than nGram whitespace tokens (the
+    // shingle rule) or is null — the same split/trim tokenization, so the
+    // cheap predicate and sig nullability agree by construction. This
+    // keeps the md5-per-shingle signature work off the bypass branch
+    // entirely (the judged/bypass split is a streaming self-union, so
+    // each branch re-reads the micro-batch; the second read now carries
+    // only this cheap filter — the price of the never-vanish bypass).
+    val canSig = col("warc_ts").isNotNull && col("text").isNotNull &&
+      size(split(trim(col("text")), "\\s+")) >= nGram
     val base = src
       .select(col("url"), col("warc_ts"), col("text"), col("lang"), col("source"))
       // node id: the batch dedup_near key (TransformCompiler) — identical
       // rows share one id and one fate
       .withColumn("_nid", xxhash64(col("url"), col("warc_ts").cast("string"),
         col("source"), col("text")))
-      // null sig ⟺ null text or too few shingles — the batch no-pairs rows
-      .withColumn("_sig", when(col("warc_ts").isNotNull,
-        pipeline.expr.PortableExprs.minhashSig(col("text"), nGram, numHashes)))
       .withWatermark("warc_ts", s"$delayMs milliseconds")
-    val banded = base.filter(col("_sig").isNotNull)
+    val sig = pipeline.expr.PortableExprs.minhashSig(col("text"), nGram, numHashes)
+    val banded = base.filter(canSig)
       .select(col("_nid"), col("url"), col("warc_ts"), col("text"),
         col("lang"), col("source"),
         // the EXACT batch band keys: md5 of each rowsPerBand-slice
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1,
+          b => md5(concat_ws(",", slice(sig, b * rowsPerBand + 1,
             lit(rowsPerBand))).cast("binary")))).as(Seq("band", "bkey")))
       .select(col("_nid").as("nid"), col("band"), col("bkey"),
         col("url"), col("warc_ts"),
@@ -122,14 +140,18 @@ object NearDedup {
             // deterministic intra-batch order: event time, then node id —
             // the first row claims a previously unowned band
             val rs = rows.toVector.sortBy(r => (r.warc_ts.getTime, r.nid))
-            val winner = state.getOption.map(_.firstNid).getOrElse(rs.head.nid)
-            var maxTs = 0L
+            val prev = state.getOption
+            val winner = prev.map(_.firstNid).getOrElse(rs.head.nid)
+            // monotone horizon: fold the batch max into the stored max so
+            // a late-but-valid claim (older ts admitted above the
+            // watermark) can never pull the expiry EARLIER
+            var maxTs = prev.map(_.maxSeenMs).getOrElse(0L)
             val out = rs.map { r =>
               maxTs = math.max(maxTs, r.warc_ts.getTime)
               Verdict(r.nid, r.band, r.nid == winner,
                 r.url, r.warc_ts, r.text, r.lang, r.source)
             }
-            state.update(BandState(winner))
+            state.update(BandState(winner, maxTs))
             // expire once the watermark passes the horizon behind the
             // newest claim (must stay strictly ahead of the watermark)
             state.setTimeoutTimestamp(
@@ -137,7 +159,7 @@ object NearDedup {
             out.iterator
           }
       }
-    val bypass = base.filter(col("_sig").isNull)
+    val bypass = base.filter(!canSig)
       .select(col("_nid").as("nid"), lit(-1).as("band"), lit(true).as("ok"),
         col("url"), col("warc_ts"), col("text"), col("lang"), col("source"))
       .as[Verdict]

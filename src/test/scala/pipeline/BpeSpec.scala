@@ -119,6 +119,13 @@ class BpeSpec extends AnyFunSuite {
     val gpt2ish = "#version: 0.2\nt h\n\nth e\r\ni n\n"
     assert(Bpe.parseMerges(gpt2ish.linesIterator) ==
       Vector(("t", "h"), ("th", "e"), ("i", "n")))
+    // ONLY '#version' headers skip: real GPT-2 vocabularies carry merges
+    // whose SYMBOLS start with '#' ('# #' builds multi-# code tokens) —
+    // a blanket comment rule would silently truncate them
+    assert(Bpe.parseMerges(Seq("#version: 0.2", "# #", "## #", "a b")) ==
+      Vector(("#", "#"), ("##", "#"), ("a", "b")))
+    assert(Bpe.parseMerges(Bpe.renderMerges(Vector(("#", "#"))).linesIterator) ==
+      Vector(("#", "#")))
     // malformed lines must fail with the line number, not truncate
     val bad = intercept[IllegalArgumentException] {
       Bpe.parseMerges(Seq("a b", "three part line", "c d"))
@@ -137,6 +144,12 @@ class BpeSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(path, Bpe.renderMerges(Bpe.Merges))
     val loaded = Bpe.load(path.toString)
     assert(loaded == Bpe.Fixture && loaded.merges == Bpe.Merges)
+    // interning: equal merge lists resolve to ONE instance per JVM (the
+    // readResolve path — tasks must share ranks map + memo, not rebuild
+    // them per deserialized expression)
+    assert(loaded eq Bpe.Fixture)
+    assert(pipeline.expr.BpeTable.intern(
+      new pipeline.expr.BpeTable(Bpe.Merges)) eq Bpe.Fixture)
     // a DIFFERENT vocabulary: hand-written production-style merges that the
     // fixture corpus never learned (w-h, wh-o) — counts must differ from
     // the fixture's where the vocabularies disagree

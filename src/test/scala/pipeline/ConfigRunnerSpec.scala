@@ -447,9 +447,10 @@ class ConfigRunnerSpec extends AnyFunSuite {
     val spec = PipelineConfig.load(cfgPath, Map.empty)
     // pin the chain CONTENT (order + options), not just that it parses —
     // this is the committed flagship example; silent edits must fail here
+    // truncate precedes token_count: n_tokens prices the SHIPPED text
     assert(spec.transforms.map(_.kind) == Seq("pii_redact", "dedup_exact",
       "dedup_near", "lang_allowlist", "quality_filter", "repetition_filter",
-      "stratified_sample", "token_count", "truncate"))
+      "stratified_sample", "truncate", "token_count"))
     assert(spec.transforms(2).options == Map("nGram" -> "3", "bands" -> "4",
       "rowsPerBand" -> "4", "maxBucketSize" -> "10000"))
     assert(spec.sinks.map(_.kind) == Seq("s3"))
@@ -476,8 +477,8 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(at("quality_filter") <= at("lang_allowlist"))
     assert(at("repetition_filter") <= at("quality_filter"))
     assert(at("stratified_sample") < at("repetition_filter"))
-    assert(at("token_count") == at("stratified_sample"))
-    assert(at("truncate") == at("token_count"))
+    assert(at("truncate") == at("stratified_sample"))
+    assert(at("token_count") == at("truncate"))
     // token_count annotated real BPE counts on every decoded surviving row
     val annotated = stages.find(_._1 == "token_count").get._2
     assert(annotated.columns.contains("n_tokens"))

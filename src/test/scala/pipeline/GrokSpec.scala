@@ -149,6 +149,11 @@ class GrokSpec extends AnyFunSuite {
       p1.isNullAt(3) && p1.isNullAt(4) && p1.getString(5) == "ERROR")
     assert(po(2).getStruct(0).getString(5) == "STATEMENT")
     assert(po(3).isNullAt(0))
+    // numeric-offset timezone (log_timezone without an abbreviation)
+    val pgOff = Seq("2026-01-03 12:00:10.001 +0545 [12] LOG:  ready").toDF("line")
+      .select(Grok.extract(col("line"), "%{POSTGRESQLLOG}").as("g"))
+      .collect()(0).getStruct(0)
+    assert(pgOff.getString(1) == "+0545" && pgOff.getInt(2) == 12)
     // Java stack frames: SINGLE-LINE contract — one row per `at ...` frame
     // (line-oriented sources never deliver multi-line records; header↔frame
     // re-association is a downstream stateful concern, documented in Grok)

@@ -145,4 +145,39 @@ class PropertySpec extends AnyFunSuite {
       assert(tf.forall { case (_, df, score, _) => df >= 1 && score > 0.0 })
     }
   }
+
+  test("∀ mp4 params: encode→header identity; ∀ merge tables: render→parse identity") {
+    // MP4: header(encode(p)) == p over the whole parameter lattice
+    val genMp4 = for {
+      ts <- Gen.choose(1, 1000000)
+      dur <- Gen.choose(0L, 0xffffffffL)
+      w <- Gen.choose(1, 32767)
+      h <- Gen.choose(1, 32767)
+    } yield (ts, dur, w, h)
+    forAll(genMp4, n = 24) { case (ts, dur, w, h) =>
+      val bytes = pipeline.expr.Mp4EncodeExpr.encode(ts, dur, w, h)
+      assert(pipeline.expr.Mp4HeaderExpr.header(bytes)
+        .contains(("isom", ts, dur, w, h)), s"($ts,$dur,${w}x$h)")
+      // single-byte corruption anywhere must parse-or-refuse, never throw
+      val pos = (ts + w) % bytes.length
+      val mutated = bytes.clone(); mutated(pos) = (mutated(pos) ^ 0x55).toByte
+      pipeline.expr.Mp4HeaderExpr.header(mutated)
+    }
+    // BPE merges.txt: parseMerges ∘ renderMerges == identity for any table
+    // over space-free symbols (the format's alphabet)
+    val genSym = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val genTable = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(genSym, genSym)).map(_.toVector))
+    forAll(genTable, n = 16) { merges =>
+      assert(pipeline.expr.Bpe.parseMerges(
+        pipeline.expr.Bpe.renderMerges(merges).linesIterator) == merges)
+      // and the loaded table prices any text within the structural bounds
+      val tbl = new pipeline.expr.BpeTable(merges)
+      val text = merges.take(5).map { case (l, r) => l + r }.mkString(" ") + " zz9"
+      val n = tbl.countTokens(text)
+      val pretoks = pipeline.expr.Bpe.PretokenRe.findAllIn(text).toSeq
+      assert(n >= pretoks.size && n <= pretoks.map(_.length).sum)
+    }
+  }
 }

@@ -594,6 +594,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(textMultiset(batchKept) == textMultiset(kept))
   }
 
+  test("streaming near-dup: rows below the watermark are ADMITTED (measured)") {
+    val s = sc
+    import s.implicits._
+    // file 1 carries a far-future sentinel: after batch 1 the watermark
+    // sits at sentinel − delay, far above file 2's rows. MEASURES whether
+    // FMGWS(EventTimeTimeout) admits or drops sub-watermark input on
+    // Spark 4.1.2 — the Batcher admission test pinned "admitted" for ITS
+    // fixture (watermark below the late rows at processing time); this
+    // fixture forces the watermark ABOVE them first.
+    val cols = Seq("url", "warc_ts", "text", "lang", "source")
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    val fileA = Seq(
+      ("u/early", ts("2026-01-01 00:00:01"), "one two three four five six", "en", "s"),
+      ("u/sentinel", ts("2026-02-01 00:00:00"), "seven eight nine ten eleven twelve", "en", "s"))
+    val fileB = Seq( // below the post-batch-1 watermark by weeks
+      ("u/late", ts("2026-01-01 00:00:05"), "alpha beta gamma delta epsilon zeta", "en", "s"))
+    val landing = Files.createTempDirectory("graft-latnd-landing").toString
+    fileA.toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    fileB.toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    val out = Files.createTempDirectory("graft-latnd-out").toString
+    val stream = s.readStream.schema(s.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = pipeline.streaming.NearDedup
+      .verdicts(stream, delayMs = 60000L, nGram = 3, bands = 2, rowsPerBand = 4)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
+        pipeline.streaming.NearDedup.finalize(b.toDF)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("glt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = s.read.parquet(out).select("url").as[String].collect().toSet
+    // MEASURED Spark 4.1.2 behavior, pinned: FMGWS(EventTimeTimeout) has
+    // NO late-input filter — the sub-watermark row is ADMITTED and judged
+    // against current state (the same result the Batcher admission-
+    // invariance test measured on its fixture; a code reviewer's claim
+    // that the late-events predicate fires here did not reproduce). The
+    // monotone-timeout fold in NearDedup exists precisely because late
+    // claims are admitted: an older-ts claim must never pull a band's
+    // expiry earlier. If a Spark upgrade starts dropping late input,
+    // this assert fires and the class doc must be revisited.
+    assert(kept == Set("u/early", "u/sentinel", "u/late"), s"got $kept")
+  }
+
   test("streaming near-dup: cross-band transitive merges are the documented miss") {
     val s = sc
     import s.implicits._
