@@ -273,6 +273,31 @@ object Oracle {
         |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_id
         |FROM sh GROUP BY 1""".stripMargin,
 
+    "q_dedup_simhash_near" ->
+      // banded hamming multi-probe: 4-bit slices of the 16-bit simhash
+      // bucket candidates; bit_count(xor) verifies exactly — both engines
+      // ship integer bit_count, so the verify is portable verbatim
+      s"""WITH hs AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |    t -> ${h32("t")}) AS h
+        |  FROM documents WHERE doc_id < 300
+        |), sh AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+        |    CASE WHEN CAST(list_sum(list_transform(h, x -> ((x >> i) & 1)*2 - 1)) AS BIGINT) > 0
+        |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM hs
+        |), banded AS (
+        |  SELECT doc_id, simhash, t.i AS band,
+        |    (simhash >> (CAST(t.i AS INTEGER) * 4)) & 15 AS bkey
+        |  FROM sh, range(0, 4) t(i)
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        |    l.simhash AS sa, r.simhash AS sb
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 2""".stripMargin,
+
     "q_dedup_ngram" ->
       s"""WITH sh AS (
         |  SELECT doc_id, unnest($shinglesSql) AS sh FROM (

@@ -233,6 +233,16 @@ object Queries {
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBuckets(t(s, dir, "documents"), "doc_id", "text", bits = 16)
 
+  /** SimHash hamming-ball pairs (banded multi-probe + bit_count verify):
+    * EXACT recall for hamming ≤ bands−1 by pigeonhole. Subset-capped like
+    * q_dedup_ngram — the word-soup fixture's low simhash entropy makes
+    * full-corpus pair counts quadratic at larger SFs (the production
+    * guard is maxBucketSize; unlimited here for exact oracle parity). */
+  def qDedupSimhashNear(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(
+      t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+      bits = 16, bands = 4, maxHamming = 2)
+
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(
       t(s, dir, "documents").filter(col("doc_id") < 1500), "doc_id", "text",

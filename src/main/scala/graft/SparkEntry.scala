@@ -38,6 +38,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_dedup_simhash_near" -> (Queries.qDedupSimhashNear _),
     "q_dedup_ngram" -> (Queries.qDedupNgram _),
     "q_dedup_embed" -> (Queries.qDedupEmbed _),
     "q_dedup_embed_lsh" -> (Queries.qDedupEmbedLsh _),

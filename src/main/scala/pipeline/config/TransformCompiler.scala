@@ -35,6 +35,10 @@ import pipeline.ops.Portable
  *                              drop non-representatives (`nGram`, `bands`,
  *                              `rowsPerBand`, `maxBucketSize`); BATCH
  *                              frames only (the closure iterates)
+ *  - `decontaminate`         — drop docs sharing ≥ `minShared` distinct
+ *                              `nGram`-shingles with the benchmark table
+ *                              at `benchmarkPath` (`benchmarkColumn`,
+ *                              default text)
  *  - `token_count`           — annotate `as` (default n_tokens) with a
  *                              token count of `column`: `mode` real
  *                              (merge-table BPE; optional `mergesPath`
@@ -244,10 +248,48 @@ object TransformCompiler {
           withId.join(drops, Seq("_nid"), "left_anti").drop("_nid")
         }
 
+      case "decontaminate" =>
+        // benchmark decontamination on the config surface: drop docs
+        // sharing >= minShared distinct nGram-shingles with ANY document
+        // in the `benchmarkPath` parquet (column `benchmarkColumn`,
+        // default text) — the held-out-eval hygiene step of corpus
+        // assembly. The benchmark side collapses to distinct shingles and
+        // broadcasts (CorpusRefine.decontaminate); the corpus never
+        // shuffles for the join. Bypass/null-text rows carry a null _nid
+        // and can never be dropped (the dedup_near never-vanish pattern);
+        // identical rows share one _nid and drop together.
+        val benchPath = opt("benchmarkPath").getOrElse(err("needs 'benchmarkPath'"))
+        if (!benchPath.contains("://") && !new java.io.File(benchPath).exists())
+          err(s"benchmarkPath '$benchPath' does not exist")
+        val benchCol = opt("benchmarkColumn").getOrElse("text")
+        val dNGram = intOpt("nGram").getOrElse(3)
+        val minShared = opt("minShared")
+          .map(v => v.toLongOption.getOrElse(err(s"bad minShared '$v'")))
+          .getOrElse(1L)
+        if (dNGram <= 0 || minShared <= 0)
+          err(s"nGram/minShared must be positive, got $dNGram/$minShared")
+        df => {
+          val bench = df.sparkSession.read.parquet(benchPath)
+          if (!bench.columns.contains(benchCol))
+            err(s"benchmark table has no column '$benchCol' " +
+              s"(columns: ${bench.columns.mkString(", ")})")
+          val participates = !bypass(df) && col("text").isNotNull
+          val withId = df.withColumn("_nid",
+            when(participates, xxhash64(col("url"),
+              col("warc_ts").cast("string"), col("source"), col("text"))))
+          val contaminated = pipeline.ops.CorpusRefine.decontaminate(
+            withId.filter(col("_nid").isNotNull),
+            bench.select(col(benchCol).as("text")),
+            "_nid", "text", dNGram, minShared)
+            .select(col("_nid"))
+          withId.join(contaminated, Seq("_nid"), "left_anti").drop("_nid")
+        }
+
       case other =>
-        err(s"unknown transform kind '$other' (known: pii_redact, " +
-          "dedup_exact, dedup_near, lang_allowlist, quality_filter, " +
-          "repetition_filter, stratified_sample, token_count, truncate)")
+        err(s"unknown transform kind '$other' (known: decontaminate, " +
+          "pii_redact, dedup_exact, dedup_near, lang_allowlist, " +
+          "quality_filter, repetition_filter, stratified_sample, " +
+          "token_count, truncate)")
     }
   }
 }

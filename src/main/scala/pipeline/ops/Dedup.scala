@@ -124,6 +124,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"))
 
   /**
+   * SimHash HAMMING-BALL near-dup pairs: banded multi-probe — the
+   * full-value bucket above only finds hamming-0 twins; this one finds
+   * pairs within `maxHamming` bits. The simhash splits into `bands`
+   * contiguous bit-slices; docs sharing ANY slice are candidates, and by
+   * PIGEONHOLE the recall is EXACT for maxHamming ≤ bands − 1 (k
+   * differing bits can dirty at most k bands, leaving a clean shared one).
+   * Candidates verify with `bit_count(a XOR b) ≤ maxHamming` — exact, and
+   * portable to the SQL oracle (both engines ship bit_count).
+   *
+   * Shape: one narrow sig pass behind a barrier (ReusedExchange feeds both
+   * self-join sides), band equijoin on an 8-byte slice key, the 8-byte
+   * signatures ride the pair dedup (two longs — unlike embedding vectors,
+   * cheap enough to carry, saving two re-join shuffles). `maxBucketSize`
+   * guards the low-entropy quadratic hazard exactly as in minhashLsh.
+   */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 16, bands: Int = 4, maxHamming: Int = 3,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(bits >= 2 && bits <= 32, s"bits must be 2..32, got $bits")
+    require(bands >= 1 && bits % bands == 0,
+      s"bands must divide bits, got $bands over $bits")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sig = df.select(col(idCol).as("id"),
+      pipeline.expr.PortableExprs.simhash(col(textCol), bits).as("sh"))
+      .repartition(col("id"))
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sh"), b * bandBits)
+          .bitwiseAND(lit(mask)))).as(Seq("band", "bkey")))
+    val eligible =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy("band", "bkey").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize)
+          .select("band", "bkey"),
+        Seq("band", "bkey"), "left_semi")
+    val l = eligible.select(col("band"), col("bkey"),
+      col("id").as("a"), col("sh").as("sha"))
+    val r = eligible.select(col("band"), col("bkey"),
+      col("id").as("b"), col("sh").as("shb"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sha", "shb").distinct()
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, LSH-gated — the PRODUCTION form
    * (the all-pairs `a.join(b, a<b)` variant is an O(N²)
    * BroadcastNestedLoopJoin, kept only as a small-scale oracle fixture in

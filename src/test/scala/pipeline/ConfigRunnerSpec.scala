@@ -365,6 +365,54 @@ class ConfigRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate transform: benchmark shingle overlap drops docs; null text safe") {
+    val s = sc
+    import s.implicits._
+    val benchDir = java.nio.file.Files.createTempDirectory("decon-bench").toString
+    Seq("the capital of france is paris and everyone knows it",
+      "water boils at one hundred degrees celsius at sea level")
+      .toDF("text").write.mode("overwrite").parquet(benchDir)
+    val d = Seq(
+      // contains a full benchmark sentence → many shared shingles → drop
+      ("u1", "prefix words the capital of france is paris and everyone knows it suffix"),
+      // clean doc, disjoint vocabulary → keep
+      ("u2", "oak elm birch maple cedar willow aspen spruce fir larch"),
+      // shares fewer than minShared shingles → keep
+      ("u3", "the capital of norway is oslo which is quite different"),
+      ("u4", null.asInstanceOf[String])) // null text → never vanishes
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("source", lit("src"))
+    def run(opts: Map[String, String]) = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("decontaminate", opts))(d)
+    val kept = run(Map("benchmarkPath" -> benchDir, "minShared" -> "5"))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept == Set("u2", "u3", "u4"), s"got $kept")
+    // == the programmatic apply on the same id rule
+    val withId = d.withColumn("_nid", when(col("text").isNotNull,
+      xxhash64(col("url"), col("warc_ts").cast("string"), col("source"), col("text"))))
+    val prog = pipeline.ops.CorpusRefine.decontaminateApply(
+      withId.filter(col("_nid").isNotNull),
+      s.read.parquet(benchDir), "_nid", "text", nGram = 3, minShared = 5L)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept - "u4" == prog)
+    // minShared=1: even u3's few shared shingles ("the capital of", ...) drop it
+    val strict = run(Map("benchmarkPath" -> benchDir))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(strict == Set("u2", "u4"), s"got $strict")
+    // config-shaped failures
+    intercept[IllegalArgumentException] { run(Map.empty) }
+    intercept[IllegalArgumentException] {
+      run(Map("benchmarkPath" -> "/does/not/exist"))
+    }
+    intercept[IllegalArgumentException] {
+      run(Map("benchmarkPath" -> benchDir, "minShared" -> "0"))
+    }
+    intercept[IllegalArgumentException] {
+      run(Map("benchmarkPath" -> benchDir, "benchmarkColumn" -> "nope")).count()
+    }
+  }
+
   test("dedup_near transform: minhash→components→apply chain == programmatic") {
     val s = sc
     import s.implicits._

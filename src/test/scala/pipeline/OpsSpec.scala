@@ -129,6 +129,44 @@ class OpsSpec extends AnyFunSuite {
     assert(cappedPairs.subsetOf(allPairs))
   }
 
+  test("simhashNearDup: pigeonhole recall is EXACT vs brute hamming; guards hold") {
+    val d = docs(800)
+    val got = Dedup.simhashNearDup(d, "id", "text",
+      bits = 16, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute-force ground truth: ALL pairs with hamming <= 3 over the full
+    // simhash — banded recall must be exact for maxHamming <= bands-1
+    val sigs = d.select(col("id"),
+      pipeline.expr.PortableExprs.simhash(col("text"), 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(truth.nonEmpty, "fixture must contain hamming<=3 pairs")
+    assert(got == truth, s"banded recall must be exact: missing ${
+      (truth.keySet -- got.keySet).take(3)}, extra ${(got.keySet -- truth.keySet).take(3)}")
+    // hamming-0 twins (exact text dups) all present with distance 0
+    assert(got.values.exists(_ == 0))
+    // tighter maxHamming is a filter of the same pair set
+    val tight = Dedup.simhashNearDup(d, "id", "text",
+      bits = 16, bands = 4, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(tight == truth.filter(_._2 <= 1))
+    // bucket cap yields a subset (the minhashLsh guard semantics)
+    val capped = Dedup.simhashNearDup(d, "id", "text",
+      bits = 16, bands = 4, maxHamming = 3, maxBucketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(truth.keySet))
+    // config-shaped rejections
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(d, "id", "text", bits = 16, bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(d, "id", "text", maxHamming = -1)
+    }
+  }
+
   test("ngramJaccard scores exact duplicates at 1.0 and respects threshold") {
     val d = docs(1500)
     val j = Dedup.ngramJaccard(d, "id", "text", 3, 0.5)

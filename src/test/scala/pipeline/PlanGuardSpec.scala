@@ -95,6 +95,42 @@ class PlanGuardSpec extends AnyFunSuite {
       s"unexpected windows:\n$plan")
   }
 
+  test("IVF stored assignment: cell-partitioned reads prune to the probed cells") {
+    // the assignCells claim ("cell as a partition column → cell-pruned
+    // reads skip non-probed cells at the source") must hold structurally:
+    // a probe over a cell-partitioned assigned corpus shows partition
+    // pruning, and only the probed cells' files are read
+    val s = sc
+    import s.implicits._
+    val corpus = (0L until 400L).map { i =>
+      (i, Array.tabulate(8)(d => ((i % 4) * 10 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = pipeline.ops.Similarity.fitCentroids(
+      corpus, "vec_id", "embedding", nCells = 4, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-assigned").toString
+    pipeline.ops.Similarity.assignCells(corpus, "vec_id", "embedding", cents)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val assigned = s.read.parquet(dir)
+    val queries = corpus.filter(col("vec_id") < 2)
+    val out = pipeline.ops.Similarity.ivfTopKAssigned(
+      assigned, queries, "vec_id", "embedding", k = 3, nProbe = 1, cents)
+    assert(out.groupBy("qid").count().collect().forall(_.getLong(1) == 3L))
+    // the cell equijoin against the broadcast query side becomes a
+    // partition-filterable predicate only with DPP/broadcast pruning; the
+    // DIRECT form — filtering the assigned table by the probed cells — must
+    // prune at the source (the production read pattern: compute the probe
+    // cells driver-side per query batch, push them into the scan)
+    val probed = Seq(0, 2)
+    val pruned = assigned.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val scanStr = pruned.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("cell"),
+      s"cell filter must reach the scan as a partition filter:\n$scanStr")
+    // and the pruned read really skips the other cells' rows
+    val cellsRead = pruned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cellsRead.subsetOf(probed.toSet))
+  }
+
   test("embedding LSH dedup: vectors never ride the pair-dedup shuffle") {
     val s = sc
     val dir = java.nio.file.Files.createTempDirectory("emblsh-plan").toString
