@@ -131,6 +131,53 @@ object Streaming {
   }
 
   /**
+   * Streaming corpus-assembly daemon: approximate NEAR-DUP dedup before
+   * routing — `streaming.NearDedup.verdicts` (the stateful band-owner
+   * pass) feeds a foreachBatch that [[streaming.NearDedup.finalize]]s the
+   * per-doc keep decision and then runs the SAME batch stage chain +
+   * partitioned write + ledger commit as [[startDocs]]. The config
+   * transform `dedup_near` refuses streaming frames (its transitive
+   * closure iterates driver-side); THIS is its delivery-level streaming
+   * twin, with NearDedup's documented approximations (no cross-band
+   * transitive merges; first-arrival keeper; watermark horizon).
+   */
+  def startDocsNearDedup(docStream: DataFrame, outDir: String,
+                         delayMs: Long = 3600000L, nGram: Int = 3,
+                         bands: Int = 4, rowsPerBand: Int = 4,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ledger = new io.Ledger(outDir)
+    val metrics = new streaming.StreamMetrics(outDir)
+    val sinkNames = Pipeline.sinkNamesFor(stages.Route.defaultRules)
+    val qname = f"neardedup_docs_${outDir.hashCode & 0x7fffffff}%08x"
+    streaming.NearDedup.verdicts(docStream, delayMs, nGram, bands, rowsPerBand)
+      .writeStream
+      .queryName(qname)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[streaming.NearDedup.Verdict], batchId: Long) =>
+          val kept = streaming.NearDedup.finalize(batch.toDF)
+          val obs = org.apache.spark.sql.Observation()
+          val routed = Pipeline.observeSinkCounts(
+            Pipeline.transform(kept)
+              .select(col("url"), col("warc_ts"), col("lang"), col("source"),
+                col("host"), col("title"), col("status"), col("extracted_text"),
+                col("is_corrupt"), col("sink"), col("day")),
+            obs, sinkNames)
+          routed.write.mode("overwrite")
+            .partitionBy("sink")
+            .parquet(s"$outDir/routed_stream/batch=$batchId")
+          val counts = Pipeline.observedSinkCounts(obs, sinkNames).filter(_._2 > 0)
+          ledger.commit(s"batch-$batchId", counts.values.sum, counts)
+          counts.foreach { case (sink, n) =>
+            metrics.append(batchId, qname, "sink", sink, n)
+          }
+          ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming PUSH delivery with the reference's exact count/time batch
    * semantics: routed stream → pipeline.streaming.Batcher.eventFlushes
    * (stateful batchSize/flushFreq buffering of the actual payload lines) →

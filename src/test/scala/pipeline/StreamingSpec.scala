@@ -594,6 +594,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(textMultiset(batchKept) == textMultiset(kept))
   }
 
+  test("near-dup daemon: dedup→parse→route→write counts == batch dedup_near chain") {
+    val s = sc
+    import s.implicits._
+    // clique fixture (dup classes share FULL text) so batch closure and
+    // streaming arrival-roots agree on kept COUNTS; routing depends only
+    // on text/lang (status/is_corrupt parse from text; rules never read
+    // url), so which representative survives cannot move per-sink counts
+    val t1 = "title: alpha beta status=503 bytes=10 method=GET gamma delta epsilon zeta"
+    val t2 = "title: red orange status=200 bytes=20 method=GET yellow green blue indigo"
+    val t3 = "oak elm birch maple cedar willow aspen spruce"
+    val t4 = "quark lepton boson gluon photon neutrino muon tau"
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    val cols = Seq("url", "warc_ts", "text", "lang", "source")
+    val fileA = Seq(
+      ("u/a1", ts(1), t1, "en", "src"), ("u/a2", ts(2), t2, "de", "src"),
+      ("u/a3", ts(3), t3, "en", "src"))
+    val fileB = Seq(
+      ("u/b1", ts(30), t1, "en", "src"),  // dup of a1 → dropped
+      ("u/b2", ts(31), t4, "ja", "src"),  // new → kept
+      ("u/b3", ts(32), t2, "de", "src"))  // dup of a2 → dropped
+    val landing = Files.createTempDirectory("graft-nddaemon-landing").toString
+    fileA.toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    fileB.toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    val out = Files.createTempDirectory("graft-nddaemon-out").toString
+    val stream = s.readStream.schema(s.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = Streaming.startDocsNearDedup(stream, out,
+      delayMs = 86400000L, nGram = 3, bands = 2, rowsPerBand = 4)
+    q.awaitTermination()
+    val got = s.read.parquet(s"$out/routed_stream").groupBy("sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch twin: the dedup_near transform + the same stage chain
+    val all = s.read.parquet(landing)
+    val deduped = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("dedup_near", Map(
+        "nGram" -> "3", "bands" -> "2", "rowsPerBand" -> "4")))(all)
+    assert(deduped.count() == 4) // one rep per class + both singletons
+    val batchCounts = pipeline.stages.Aggregate
+      .sinkCounts(Pipeline.transform(deduped))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batchCounts && got.values.sum > 0,
+      s"streaming $got vs batch $batchCounts")
+    // ledger commits reconcile with the written rows
+    val ledger = new Ledger(out).committedRows()
+    assert(ledger.values.sum == got.values.sum)
+  }
+
   test("streaming near-dup: rows below the watermark are ADMITTED (measured)") {
     val s = sc
     import s.implicits._
