@@ -124,6 +124,50 @@ object DedupBench {
       return
     }
 
+    // --mode streamnear: streaming approximate near-dup throughput — the
+    // NearDedup stateful band-owner pass + per-micro-batch finalize over a
+    // landing directory, sink writes excluded (the write path is the
+    // sandbox's throttle-prone disk, BASELINE.md; this isolates the
+    // OPERATOR). Run at two --cores levels for the N→4N story.
+    if (conf.get("--mode").contains("streamnear")) {
+      val landing = s"/tmp/graft-streamnear-$n"
+      if (!new java.io.File(s"$landing/_SUCCESS").exists()) {
+        Webtext.df(spark, n, 64)
+          .select(col("url"), col("warc_ts"), col("text"), col("lang"))
+          .withColumn("source", lit("bench"))
+          .write.mode("overwrite").parquet(landing)
+      }
+      val schema = spark.read.parquet(landing).schema
+      spark.read.parquet(landing).limit(1000).count() // warm
+      // large-state knob: the default HDFSBackedStateStore keeps every
+      // band key in JVM maps and re-snapshots per micro-batch; RocksDB
+      // spills to native storage — measured below (GRAFT_ROCKSDB=1)
+      if (sys.env.contains("GRAFT_ROCKSDB"))
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val keptTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", sys.env.getOrElse("GRAFT_MFPT", "16").toInt).parquet(landing)
+      val q = pipeline.streaming.NearDedup
+        .verdicts(stream, delayMs = 365L * 86400000L)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
+            keptTotal.addAndGet(pipeline.streaming.NearDedup.finalize(b.toDF).count())
+            ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("snck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"bench":"stream_neardup","rows":$n,"cores":$cores,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong},"kept":${keptTotal.get()}}""")
+      spark.stop()
+      return
+    }
+
     // --mode corpus: the corpus-refinement family at scale (url column kept)
     if (conf.get("--mode").contains("corpus")) {
       import pipeline.ops.CorpusRefine
