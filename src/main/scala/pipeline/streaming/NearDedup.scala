@@ -140,7 +140,15 @@ object NearDedup {
             // deterministic intra-batch order: event time, then node id —
             // the first row claims a previously unowned band
             val rs = rows.toVector.sortBy(r => (r.warc_ts.getTime, r.nid))
-            val prev = state.getOption
+            // stale state counts as expired even on the DATA path: the
+            // event-time timeout only sweeps groups with NO input in the
+            // sweeping batch, so without this check the horizon would
+            // depend on whether a quiet batch happened to run between the
+            // original and the late duplicate — ownership older than the
+            // horizon must lapse either way (pinned in StreamingSpec's
+            // horizon-expiry test)
+            val wm = state.getCurrentWatermarkMs()
+            val prev = state.getOption.filter(st => wm <= st.maxSeenMs + delayMs)
             val winner = prev.map(_.firstNid).getOrElse(rs.head.nid)
             // monotone horizon: fold the batch max into the stored max so
             // a late-but-valid claim (older ts admitted above the
@@ -155,7 +163,7 @@ object NearDedup {
             // expire once the watermark passes the horizon behind the
             // newest claim (must stay strictly ahead of the watermark)
             state.setTimeoutTimestamp(
-              math.max(maxTs + delayMs, state.getCurrentWatermarkMs() + 1))
+              math.max(maxTs + delayMs, wm + 1))
             out.iterator
           }
       }

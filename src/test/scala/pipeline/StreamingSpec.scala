@@ -689,6 +689,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set("u/early", "u/sentinel", "u/late"), s"got $kept")
   }
 
+  test("streaming near-dup: horizon expiry re-admits far-apart duplicates") {
+    val s = sc
+    import s.implicits._
+    // delay = 1 min. file 1 plants the original at T0; file 2 moves the
+    // watermark past T0+delay (sentinel at T0+1h, watermark = sentinel −
+    // delay); after batch 2's timeout sweep the band state is EXPIRED, so
+    // file 3's exact duplicate of the original is re-admitted — the
+    // documented HORIZON approximation (the batch closure over all time
+    // would drop it)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val cols = Seq("url", "warc_ts", "text", "lang", "source")
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    val landing = Files.createTempDirectory("graft-hzn-landing").toString
+    Seq(("u/orig", ts("2026-01-01 00:00:00"), t1, "en", "s"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Seq(("u/sentinel", ts("2026-01-01 01:00:00"),
+      "one two three four five six seven eight", "en", "s"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Seq(("u/readmitted", ts("2026-01-01 01:00:01"), t1, "en", "s"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    val out = Files.createTempDirectory("graft-hzn-out").toString
+    val stream = s.readStream.schema(s.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = pipeline.streaming.NearDedup
+      .verdicts(stream, delayMs = 60000L, nGram = 3, bands = 2, rowsPerBand = 4)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
+        pipeline.streaming.NearDedup.finalize(b.toDF)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ghz").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = s.read.parquet(out).select("url").as[String].collect().toSet
+    // the duplicate re-enters because its original's state expired — and
+    // within-horizon dedup (the other tests) still drops near-in-time dups
+    assert(kept == Set("u/orig", "u/sentinel", "u/readmitted"), s"got $kept")
+  }
+
   test("streaming near-dup: cross-band transitive merges are the documented miss") {
     val s = sc
     import s.implicits._
