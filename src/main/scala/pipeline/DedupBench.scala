@@ -16,6 +16,16 @@ object DedupBench {
     val input = explicitInput.getOrElse(s"/tmp/graft-dedup-$n")
     val spark = Sessions.local(cores)
     spark.sparkContext.setLogLevel("WARN")
+    /** Default-path fixture reuse: regenerate unless a COMPLETE corpus
+      * (_SUCCESS marker — a killed generation must regenerate, not feed a
+      * truncated corpus) already sits at `path`; an EXPLICIT user path is
+      * reused as-is (rsync'd copies legitimately lack _SUCCESS). */
+    def materialized(path: String, explicit: Boolean = false)(
+        gen: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      if (!explicit && !new java.io.File(s"$path/_SUCCESS").exists())
+        gen.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val r = f
@@ -131,24 +141,25 @@ object DedupBench {
     // OPERATOR). Run at two --cores levels for the N→4N story.
     if (conf.get("--mode").contains("streamnear")) {
       val landing = s"/tmp/graft-streamnear-$n"
-      if (!new java.io.File(s"$landing/_SUCCESS").exists()) {
+      val landed = materialized(landing) {
         Webtext.df(spark, n, 64)
           .select(col("url"), col("warc_ts"), col("text"), col("lang"))
           .withColumn("source", lit("bench"))
-          .write.mode("overwrite").parquet(landing)
       }
-      val schema = spark.read.parquet(landing).schema
-      spark.read.parquet(landing).limit(1000).count() // warm
+      val schema = landed.schema
+      landed.limit(1000).count() // warm
       // large-state knob: the default HDFSBackedStateStore keeps every
       // band key in JVM maps and re-snapshots per micro-batch; RocksDB
-      // spills to native storage — measured below (GRAFT_ROCKSDB=1)
-      if (sys.env.contains("GRAFT_ROCKSDB"))
+      // spills to native storage — measured (--stateStore rocksdb): no
+      // better at this state shape, BASELINE.md
+      if (conf.get("--stateStore").contains("rocksdb"))
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val keptTotal = new java.util.concurrent.atomic.AtomicLong(0L)
       val t0 = System.nanoTime()
       val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", sys.env.getOrElse("GRAFT_MFPT", "16").toInt).parquet(landing)
+        .option("maxFilesPerTrigger",
+          conf.getOrElse("--filesPerTrigger", "16").toInt).parquet(landing)
       val q = pipeline.streaming.NearDedup
         .verdicts(stream, delayMs = 365L * 86400000L)
         .writeStream
@@ -171,17 +182,12 @@ object DedupBench {
     // --mode corpus: the corpus-refinement family at scale (url column kept)
     if (conf.get("--mode").contains("corpus")) {
       import pipeline.ops.CorpusRefine
-      // default-path reuse requires the _SUCCESS marker (a killed
-      // generation run must regenerate, not benchmark a truncated
-      // corpus); an explicit --cinput is the user's data, reused as-is
       val explicitC = conf.get("--cinput")
       val cinput = explicitC.getOrElse(s"/tmp/graft-corpus-$n")
-      if (explicitC.isEmpty && !new java.io.File(s"$cinput/_SUCCESS").exists()) {
+      val cdocs = materialized(cinput, explicitC.isDefined) {
         Webtext.df(spark, n, 64).select(
           xxhash64(col("url")).as("id"), col("url"), col("text"), col("lang"))
-          .write.mode("overwrite").parquet(cinput)
       }
-      val cdocs = spark.read.parquet(cinput)
       cdocs.limit(1000).count() // warm
       time("pii_redact")(cdocs
         .select(CorpusRefine.redactPii(col("text")).as("r"),
@@ -207,14 +213,10 @@ object DedupBench {
       return
     }
 
-    // same default-path _SUCCESS gate as corpus mode (explicit --input is
-    // the user's corpus, reused as-is)
-    if (explicitInput.isEmpty && !new java.io.File(s"$input/_SUCCESS").exists()) {
+    val docs = materialized(input, explicitInput.isDefined) {
       Webtext.df(spark, n, 64).select(
         xxhash64(col("url")).as("id"), col("text"))
-        .write.mode("overwrite").parquet(input)
     }
-    val docs = spark.read.parquet(input)
     docs.limit(1000).count() // warm
     time("dedup_exact")(Dedup.exact(docs, "id", "text").filter(col("n_copies") > 1).count())
     time("dedup_exact_apply")(Dedup.dropExactDuplicates(docs, "id", "text").count())

@@ -1,6 +1,6 @@
 package pipeline.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import Portable._
@@ -49,6 +49,16 @@ object Dedup {
       j => array_min(transform(shs, s => permuted(hash32(s), j))))
   }
 
+  /** LSH band keys for a MinHash signature column: md5 hex of each
+    * rowsPerBand slice, as array<string> (position = band index). The ONE
+    * derivation shared by the batch pair join below and the streaming
+    * pipeline.streaming.NearDedup state key — their collision structures
+    * are identical by construction, not by parallel copies. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))
+        .cast("binary")))
+
   /**
    * MinHash + LSH near-duplicate candidate pairs.
    * Bands the signature into `bands` groups of `rowsPerBand`, buckets each
@@ -76,9 +86,8 @@ object Dedup {
     // posexplode generates zero rows — an isNotNull filter here would be
     // predicate-pushed below the exchange and re-evaluate the signature.
     val banded = sig.select(col("id"), posexplode(
-      when(col("sig").isNotNull, transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-          .cast("binary"))))).as(Seq("band", "bkey")))
+      when(col("sig").isNotNull, bandKeys(col("sig"), bands, rowsPerBand)))
+      .as(Seq("band", "bkey")))
     // scale guard: a bucket of k ids yields k(k-1)/2 pairs — low-entropy
     // corpora (or adversarial keys) can blow the self-join up quadratically.
     // Buckets above maxBucketSize are dropped (standard LSH practice; the

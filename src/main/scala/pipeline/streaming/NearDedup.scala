@@ -121,10 +121,9 @@ object NearDedup {
     val banded = base.filter(canSig)
       .select(col("_nid"), col("url"), col("warc_ts"), col("text"),
         col("lang"), col("source"),
-        // the EXACT batch band keys: md5 of each rowsPerBand-slice
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws(",", slice(sig, b * rowsPerBand + 1,
-            lit(rowsPerBand))).cast("binary")))).as(Seq("band", "bkey")))
+        // the EXACT batch band keys — the shared derivation, not a copy
+        posexplode(pipeline.ops.Dedup.bandKeys(sig, bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
       .select(col("_nid").as("nid"), col("band"), col("bkey"),
         col("url"), col("warc_ts"),
         when(col("band") === 0, col("text")).as("text"),

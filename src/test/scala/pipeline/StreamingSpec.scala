@@ -508,6 +508,29 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming config run must equal batch: $streamed vs $batch")
   }
 
+  /** Shared near-dup stream harness: landing dir → kept-docs frame via
+    * verdicts → per-micro-batch finalize → parquet (maxFilesPerTrigger=1,
+    * so file arrival order IS event order). */
+  private def runNearDedup(landing: String, delayMs: Long, nGram: Int,
+                           bands: Int, rowsPerBand: Int): org.apache.spark.sql.DataFrame = {
+    val s = sc
+    val out = Files.createTempDirectory("graft-nd-out").toString
+    val stream = s.readStream.schema(s.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = pipeline.streaming.NearDedup
+      .verdicts(stream, delayMs, nGram, bands, rowsPerBand)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
+        pipeline.streaming.NearDedup.finalize(b.toDF)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ndck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
   test("streaming near-dup: reconciles with batch dedup_near on clique components") {
     val s = sc
     import s.implicits._
@@ -561,22 +584,8 @@ class StreamingSpec extends AnyFunSuite {
         "band collisions must stay inside same-text classes")
     }
 
-    val out = Files.createTempDirectory("graft-neardup-out").toString
-    val stream = s.readStream
-      .schema(all.schema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
-    val q = pipeline.streaming.NearDedup
-      .verdicts(stream, delayMs = 86400000L, nGram = 3, bands = 2, rowsPerBand = 4)
-      .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
-        pipeline.streaming.NearDedup.finalize(b.toDF)
-          .write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", Files.createTempDirectory("gnd").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val kept = s.read.parquet(out)
+    val kept = runNearDedup(landing, delayMs = 86400000L,
+      nGram = 3, bands = 2, rowsPerBand = 4)
     val keptUrls = kept.select("url").as[String].collect().sorted.toSeq
     // first-arrival keeper per class + singletons + both identical copies
     // + both bypass rows
@@ -662,21 +671,8 @@ class StreamingSpec extends AnyFunSuite {
     fileA.toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
     Thread.sleep(1100)
     fileB.toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
-    val out = Files.createTempDirectory("graft-latnd-out").toString
-    val stream = s.readStream.schema(s.read.parquet(landing).schema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
-    val q = pipeline.streaming.NearDedup
-      .verdicts(stream, delayMs = 60000L, nGram = 3, bands = 2, rowsPerBand = 4)
-      .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
-        pipeline.streaming.NearDedup.finalize(b.toDF)
-          .write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", Files.createTempDirectory("glt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val kept = s.read.parquet(out).select("url").as[String].collect().toSet
+    val kept0 = runNearDedup(landing, delayMs = 60000L, nGram = 3, bands = 2, rowsPerBand = 4)
+    val kept = kept0.select("url").as[String].collect().toSet
     // MEASURED Spark 4.1.2 behavior, pinned: FMGWS(EventTimeTimeout) has
     // NO late-input filter — the sub-watermark row is ADMITTED and judged
     // against current state (the same result the Batcher admission-
@@ -711,21 +707,8 @@ class StreamingSpec extends AnyFunSuite {
     Thread.sleep(1100)
     Seq(("u/readmitted", ts("2026-01-01 01:00:01"), t1, "en", "s"))
       .toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
-    val out = Files.createTempDirectory("graft-hzn-out").toString
-    val stream = s.readStream.schema(s.read.parquet(landing).schema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
-    val q = pipeline.streaming.NearDedup
-      .verdicts(stream, delayMs = 60000L, nGram = 3, bands = 2, rowsPerBand = 4)
-      .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
-        pipeline.streaming.NearDedup.finalize(b.toDF)
-          .write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", Files.createTempDirectory("ghz").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val kept = s.read.parquet(out).select("url").as[String].collect().toSet
+    val kept0 = runNearDedup(landing, delayMs = 60000L, nGram = 3, bands = 2, rowsPerBand = 4)
+    val kept = kept0.select("url").as[String].collect().toSet
     // the duplicate re-enters because its original's state expired — and
     // within-horizon dedup (the other tests) still drops near-in-time dups
     assert(kept == Set("u/orig", "u/sentinel", "u/readmitted"), s"got $kept")
@@ -766,21 +749,8 @@ class StreamingSpec extends AnyFunSuite {
       nGram = 1, bands = 2, rowsPerBand = 1).count()
     assert(pairSet == 2L, s"bridge fixture must yield exactly 2 pairs, got $pairSet")
 
-    val out = Files.createTempDirectory("graft-bridge-out").toString
-    val stream = s.readStream.schema(all.schema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
-    val q = pipeline.streaming.NearDedup
-      .verdicts(stream, delayMs = 86400000L, nGram = 1, bands = 2, rowsPerBand = 1)
-      .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.Verdict], _: Long) =>
-        pipeline.streaming.NearDedup.finalize(b.toDF)
-          .write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", Files.createTempDirectory("gbr").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val streamingKept = s.read.parquet(out).select("url").as[String].collect().sorted.toSeq
+    val kept0 = runNearDedup(landing, delayMs = 86400000L, nGram = 1, bands = 2, rowsPerBand = 1)
+    val streamingKept = kept0.select("url").as[String].collect().sorted.toSeq
     val batchKept = pipeline.config.TransformCompiler.one(
       pipeline.config.TransformSpec("dedup_near", Map(
         "nGram" -> "1", "bands" -> "2", "rowsPerBand" -> "1")))(all).count()
