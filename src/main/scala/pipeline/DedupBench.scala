@@ -206,6 +206,13 @@ object DedupBench {
       time("bpe_count")(cdocs
         .select(pipeline.ops.TextAnalysis.bpeTokenCountReal(col("text")).as("n"))
         .filter(col("n") > 0).count())
+      // byte-level twin: GPT-2 pretokenizer + ByteEnc symbols — more
+      // pretokens per doc (whitespace tokenizes) and a byte-symbol encode,
+      // so the memo-hit-rate story differs from char level; measured here
+      time("bpe_count_byte")(cdocs
+        .select(pipeline.ops.TextAnalysis
+          .bpeTokenCountReal(col("text"), pipeline.expr.Bpe.FixtureByteLevel).as("n"))
+        .filter(col("n") > 0).count())
       time("lang_id_native")(cdocs
         .select(pipeline.ops.TextAnalysis.langId(col("text")).as("l"))
         .filter(col("l") =!= "und").count())

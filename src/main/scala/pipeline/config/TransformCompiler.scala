@@ -156,20 +156,31 @@ object TransformCompiler {
         // (merge-table BPE, default) | estimate (pretokenizer regex) |
         // whitespace; `mergesPath` loads a GPT-2-format merges.txt for
         // mode=real (the production-vocabulary path; the embedded fixture
-        // table is the default). The path resolves on the DRIVER at config
-        // compile time — fail here, config-shaped, not mid-job.
+        // table is the default), and `pretokenizer` = char (default) |
+        // byte selects GPT-2 byte-level symbols — byte + a verbatim
+        // upstream merges.txt prices text exactly as the training-side
+        // tokenizer (pipeline.expr.Bpe). The path resolves on the DRIVER
+        // at config compile time — fail here, config-shaped, not mid-job.
         val c = opt("column").getOrElse("text")
         val outCol = opt("as").getOrElse("n_tokens")
         val mode = opt("mode").getOrElse("real")
         val mergesPath = opt("mergesPath")
         if (mergesPath.isDefined && mode != "real")
           err(s"'mergesPath' only applies to mode=real, got mode=$mode")
+        val pretok = opt("pretokenizer").getOrElse("char")
+        if (pretok != "char" && pretok != "byte")
+          err(s"pretokenizer must be 'char' or 'byte', got '$pretok'")
+        if (pretok == "byte" && mode != "real")
+          err(s"'pretokenizer' only applies to mode=real, got mode=$mode")
         val counter: Column => Column = mode match {
           case "real" =>
+            val byteLevel = pretok == "byte"
             val table = mergesPath.map { p =>
-              try pipeline.expr.Bpe.loadCached(p)
+              try pipeline.expr.Bpe.loadCached(p, byteLevel)
               catch { case e: Exception => err(s"bad mergesPath '$p': ${e.getMessage}") }
-            }.getOrElse(pipeline.expr.Bpe.Fixture)
+            }.getOrElse(
+              if (byteLevel) pipeline.expr.Bpe.FixtureByteLevel
+              else pipeline.expr.Bpe.Fixture)
             pipeline.ops.TextAnalysis.bpeTokenCountReal(_, table)
           case "estimate" => pipeline.ops.TextAnalysis.bpeTokenCount(_)
           case "whitespace" => pipeline.ops.TextAnalysis.tokenCount(_)

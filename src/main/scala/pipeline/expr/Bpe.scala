@@ -26,10 +26,25 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
  *    `#version` header lines and blanks skipped (ONLY those — real
  *    GPT-2 vocabularies contain merges whose symbols start with '#') —
  *    how production vocabularies (32k–100k merges) enter the pipeline.
- *    The FORMAT is GPT-2's; the pretokenizer stays ours (char-level over
- *    [[Bpe.PretokenRe]] classes) — a verbatim byte-level GPT-2 file with
- *    `Ġ` space markers parses fine but its marker entries never fire,
- *    because our pretokens never carry the marker.
+ *
+ * Two PRETOKENIZER modes per table ([[BpeTable.byteLevel]]):
+ *
+ *  - CHAR-LEVEL (default): our three-class regex ([[Bpe.PretokenRe]] —
+ *    ASCII letter runs, digit runs, punct runs; whitespace separates and
+ *    is never counted), symbols = characters. A verbatim GPT-2 file
+ *    parses fine here but its `Ġ` space-marker entries never fire,
+ *    because char-level pretokens never carry the marker.
+ *  - BYTE-LEVEL (GPT-2's own convention): the GPT-2 pretokenizer regex
+ *    (contraction suffixes, space-attached letter/number/punct runs,
+ *    whitespace-run tokens — hand-rolled in [[Bpe.gpt2TokenEnd]],
+ *    spec-pinned equal to the published pattern compiled with Java's
+ *    UNICODE_CHARACTER_CLASS), then each pretoken's UTF-8 bytes map
+ *    through the GPT-2 `bytes_to_unicode` table ([[Bpe.ByteEnc]]:
+ *    0x20→`Ġ`, 0x0A→`Ċ`, printable bytes→themselves), symbols = mapped
+ *    bytes. Under this mode a VERBATIM upstream GPT-2-family merges.txt
+ *    prices text exactly — every `Ġ` entry fires — so token budgets match
+ *    the training-side tokenizer byte for byte. Whitespace itself
+ *    tokenizes (multi-space runs, code indentation), unlike char level.
  *
  * Encoding applies merges in learned-rank order (lowest rank first),
  * exactly like GPT-2-style tokenizers apply their merges.txt.
@@ -106,10 +121,17 @@ object Bpe {
 
   /** Classic BPE learning over a word-frequency table. Deterministic:
     * ties on pair frequency break by the lexicographically smallest
-    * (left, right). Stops early when no adjacent pair occurs twice. */
-  def learn(corpus: String, numMerges: Int): Vector[(String, String)] = {
+    * (left, right). Stops early when no adjacent pair occurs twice.
+    * `byteLevel` learns over GPT-2 pretokens mapped through [[ByteEnc]]
+    * (so the table carries `Ġ`-prefixed merges, the production shape);
+    * default is char-level over [[PretokenRe]]. */
+  def learn(corpus: String, numMerges: Int,
+            byteLevel: Boolean = false): Vector[(String, String)] = {
+    val pretokens: Seq[String] =
+      if (byteLevel) gpt2Pretokens(corpus).map(toByteSymbols).toSeq
+      else PretokenRe.findAllIn(corpus).toSeq
     var words: Map[Vector[String], Int] =
-      PretokenRe.findAllIn(corpus).toSeq
+      pretokens
         .groupBy(w => w.map(_.toString).toVector)
         .map { case (syms, ws) => syms -> ws.size }
     val merges = Vector.newBuilder[(String, String)]
@@ -161,6 +183,15 @@ object Bpe {
   lazy val Fixture: BpeTable =
     BpeTable.intern(new BpeTable(learn(TrainingCorpus, 8192)))
 
+  /** Byte-level twin of [[Fixture]]: the same embedded corpus learned over
+    * GPT-2 pretokens + [[ByteEnc]] symbols, so `Ġ`-marker merges are
+    * learned and FIRE — byte-level mode works out of the box in a
+    * zero-egress environment with no real merges.txt to load (and the
+    * spec exercises the exact production table shape). */
+  lazy val FixtureByteLevel: BpeTable =
+    BpeTable.intern(new BpeTable(learn(TrainingCorpus, 8192, byteLevel = true),
+      byteLevel = true))
+
   /** Fixture merge list / rank lookup (back-compat aliases). */
   def Merges: Vector[(String, String)] = Fixture.merges
   def Ranks: java.util.HashMap[String, Integer] = Fixture.ranks
@@ -205,25 +236,28 @@ object Bpe {
   /** Load a GPT-2-format merges.txt from a local/shared path. Driver-side:
     * the parsed table ships to executors inside the expression tree, so
     * only the driver needs to see the file (spark-submit `--files` lands
-    * it in the driver cwd on a cluster). */
-  def load(path: String): BpeTable = {
+    * it in the driver cwd on a cluster). `byteLevel = true` for a
+    * verbatim upstream GPT-2-family vocabulary (symbols are
+    * [[ByteEnc]]-mapped bytes, `Ġ` markers fire); default char-level. */
+  def load(path: String, byteLevel: Boolean = false): BpeTable = {
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
     BpeTable.intern(new BpeTable(
-      parseMerges(scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala)))
+      parseMerges(scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala),
+      byteLevel))
   }
 
-  /** [[load]] with a per-path cache: config compilation and SQL function
-    * resolution may build the same expression many times per session, and
-    * a 50k-merge production table should parse once, not per query.
-    * Deliberately no invalidation — a vocabulary file is immutable for the
-    * life of a training run; editing it in place mid-session is a user
-    * error this cache makes visible rather than hides. */
-  def loadCached(path: String): BpeTable =
-    loadedTables.computeIfAbsent(path, p => load(p))
+  /** [[load]] with a per-(path, mode) cache: config compilation and SQL
+    * function resolution may build the same expression many times per
+    * session, and a 50k-merge production table should parse once, not per
+    * query. Deliberately no invalidation — a vocabulary file is immutable
+    * for the life of a training run; editing it in place mid-session is a
+    * user error this cache makes visible rather than hides. */
+  def loadCached(path: String, byteLevel: Boolean = false): BpeTable =
+    loadedTables.computeIfAbsent((path, byteLevel), _ => load(path, byteLevel))
 
   private val loadedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, BpeTable]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), BpeTable]()
 
   /** Number of BPE symbols for ONE pretoken: start from characters, merge
     * the lowest-ranked adjacent pair until none applies. */
@@ -260,6 +294,121 @@ object Bpe {
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
   @inline private[expr] def isDg(c: Char): Boolean = c >= '0' && c <= '9'
 
+  // ---------------------------------------------------------------------
+  // Byte-level (GPT-2) mode
+  // ---------------------------------------------------------------------
+
+  /** GPT-2 `bytes_to_unicode`: a bijection byte → printable BMP char.
+    * Bytes that are already printable-and-unambiguous (0x21–0x7E,
+    * 0xA1–0xAC, 0xAE–0xFF) map to themselves; the 68 remaining bytes map,
+    * in increasing byte order, to 0x100 + n — hence 0x20 (space) → `Ġ`
+    * (U+0120), 0x0A (LF) → `Ċ` (U+010A), 0x09 (tab) → `ĉ` (U+0109).
+    * This is the published GPT-2 encoder table (a pure arithmetic rule,
+    * derived here, not copied data), and it is what makes merges.txt
+    * symbols plain text: a merge file can carry any byte as a printable
+    * character, whitespace included. */
+  val ByteEnc: Array[Char] = {
+    val a = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      val keeps = (b >= 0x21 && b <= 0x7E) || (b >= 0xA1 && b <= 0xAC) ||
+        (b >= 0xAE && b <= 0xFF)
+      if (keeps) a(b) = b.toChar
+      else { a(b) = (0x100 + n).toChar; n += 1 }
+      b += 1
+    }
+    a
+  }
+
+  /** UTF-8 bytes of a pretoken mapped through [[ByteEnc]] — the symbol
+    * string byte-level merges operate on (one char per BYTE). */
+  def toByteSymbols(token: String): String = {
+    val bytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = ByteEnc(bytes(i) & 0xFF); i += 1 }
+    new String(out)
+  }
+
+  // GPT-2 pretokenizer character classes, by CODEPOINT (the pattern is
+  // codepoint-wise; supplementary-plane letters must class as letters):
+  // \s = the Unicode White_Space property (what Java's \s matches under
+  // UNICODE_CHARACTER_CLASS — spec-pinned against the compiled pattern),
+  // \p{L} = the five L categories, \p{N} = Nd|Nl|No.
+  @inline private[expr] def isWsU(cp: Int): Boolean =
+    (cp >= 0x09 && cp <= 0x0D) || cp == 0x20 || cp == 0x85 || cp == 0xA0 ||
+      cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200A) || cp == 0x2028 ||
+      cp == 0x2029 || cp == 0x202F || cp == 0x205F || cp == 0x3000
+  @inline private[expr] def isLu(cp: Int): Boolean = Character.isLetter(cp)
+  @inline private[expr] def isNu(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  /** End (char index) of codepoints satisfying `p`, starting at `from`. */
+  @inline private def runEnd(text: String, from: Int, p: Int => Boolean): Int = {
+    var j = from
+    while (j < text.length) {
+      val cp = text.codePointAt(j)
+      if (!p(cp)) return j
+      j += Character.charCount(cp)
+    }
+    j
+  }
+
+  /** End of the GPT-2 pretoken starting at `start` — a hand-rolled scanner
+    * for the published GPT-2 pattern
+    * `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+`
+    * (the regex-module MatchIterator cost dominated the 1M-doc drill for
+    * the char-level scanner; same rule here). Alternation order is the
+    * pattern's: contraction suffixes (lowercase only — the upstream
+    * pattern is case-sensitive) first; then an optional LITERAL space
+    * attached to a letter/number/punct run; last the whitespace forms,
+    * where `\s+(?!\S)` makes a run of k≥2 whitespace chars followed by
+    * non-whitespace yield its first k−1 chars (the final one attaches to
+    * the next token if it is 0x20, else stands alone). Spec-pinned
+    * token-for-token equal to the compiled pattern on adversarial text. */
+  private[expr] def gpt2TokenEnd(text: String, start: Int): Int = {
+    val len = text.length
+    val c = text.charAt(start)
+    if (c == '\'' && start + 1 < len) {
+      val c1 = text.charAt(start + 1)
+      if (c1 == 's' || c1 == 't' || c1 == 'm' || c1 == 'd') return start + 2
+      if (start + 2 < len) {
+        val c2 = text.charAt(start + 2)
+        if ((c1 == 'r' && c2 == 'e') || (c1 == 'v' && c2 == 'e') ||
+            (c1 == 'l' && c2 == 'l')) return start + 3
+      }
+    }
+    val k = if (c == ' ') start + 1 else start
+    if (k < len) {
+      val cp = text.codePointAt(k)
+      if (isLu(cp)) return runEnd(text, k, isLu)
+      if (isNu(cp)) return runEnd(text, k, isNu)
+      if (!isWsU(cp)) return runEnd(text, k, p => !isWsU(p) && !isLu(p) && !isNu(p))
+    }
+    // whitespace by elimination (c == ' ' with nothing attachable, or a
+    // non-space whitespace char)
+    val e = runEnd(text, start, isWsU)
+    if (e >= len || e - start == 1) e else e - 1
+  }
+
+  /** GPT-2 pretokens of `text`, in order (driver/spec surface; the hot
+    * path inlines [[gpt2TokenEnd]] in [[BpeTable.countTokens]]). */
+  def gpt2Pretokens(text: String): Iterator[String] =
+    new scala.collection.AbstractIterator[String] {
+      private var i = 0
+      def hasNext: Boolean = i < text.length
+      def next(): String = {
+        val e = gpt2TokenEnd(text, i)
+        val s = text.substring(i, e)
+        i = e
+        s
+      }
+    }
+
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   /** Column form: real BPE token count with the fixture table (null text →
@@ -280,7 +429,11 @@ object Bpe {
  * the merge list, so two plans over the same vocabulary stay
  * canonically equal (exchange reuse, semanticEquals).
  */
-final class BpeTable(val merges: Vector[(String, String)]) extends Serializable {
+final class BpeTable(val merges: Vector[(String, String)],
+                     val byteLevel: Boolean) extends Serializable {
+
+  /** Char-level table (the default mode). */
+  def this(merges: Vector[(String, String)]) = this(merges, false)
 
   /** Deserialization interns into the per-JVM cache: the table ships in
     * every task binary, and WITHOUT interning each task would rebuild the
@@ -315,12 +468,44 @@ final class BpeTable(val merges: Vector[(String, String)]) extends Serializable 
 
   def encodeLen(token: String): Int = Bpe.encodeLen(token, ranks)
 
-  /** Total BPE token count for a text (sum over pretokens). Hand-rolled
-    * scanner over the SAME three classes as [[Bpe.PretokenRe]]
-    * (spec-pinned equal on adversarial strings): the Scala MatchIterator
-    * dominated the 1M-doc drill (regex scan ≈ the whole 16.8s; see
-    * BASELINE.md). */
-  def countTokens(text: String): Int = {
+  /** Total BPE token count for a text (sum over pretokens), in this
+    * table's mode. */
+  def countTokens(text: String): Int =
+    if (byteLevel) countTokensByteLevel(text) else countTokensCharLevel(text)
+
+  /** Byte-level count: GPT-2 pretokens ([[Bpe.gpt2TokenEnd]]), symbols =
+    * [[Bpe.ByteEnc]]-mapped UTF-8 bytes. Memo key is the RAW pretoken
+    * (mapping is injective; the memo is per-table, so modes never
+    * cross-contaminate); same >64-char whole-document bypass as char
+    * level. */
+  private def countTokensByteLevel(text: String): Int = {
+    val rk = ranks
+    val cache = cacheLocal.get()
+    var total = 0
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      val e = Bpe.gpt2TokenEnd(text, i)
+      val tok = text.substring(i, e)
+      i = e
+      if (tok.length > 64) total += Bpe.encodeLen(Bpe.toByteSymbols(tok), rk)
+      else {
+        var n = cache.get(tok)
+        if (n == null) {
+          n = Integer.valueOf(Bpe.encodeLen(Bpe.toByteSymbols(tok), rk))
+          cache.put(tok, n)
+        }
+        total += n.intValue
+      }
+    }
+    total
+  }
+
+  /** Char-level count: hand-rolled scanner over the SAME three classes as
+    * [[Bpe.PretokenRe]] (spec-pinned equal on adversarial strings): the
+    * Scala MatchIterator dominated the 1M-doc drill (regex scan ≈ the
+    * whole 16.8s; see BASELINE.md). */
+  private def countTokensCharLevel(text: String): Int = {
     import Bpe.{isAl, isDg, isWs}
     val rk = ranks
     val cache = cacheLocal.get()
@@ -358,21 +543,23 @@ final class BpeTable(val merges: Vector[(String, String)]) extends Serializable 
   }
 
   override def equals(o: Any): Boolean = o match {
-    case t: BpeTable => (t eq this) || t.merges == merges
+    case t: BpeTable =>
+      (t eq this) || (t.byteLevel == byteLevel && t.merges == merges)
     case _ => false
   }
-  override val hashCode: Int = merges.hashCode
-  override def toString: String = s"BpeTable(${merges.size} merges)"
+  override val hashCode: Int = merges.hashCode * 31 + byteLevel.hashCode
+  override def toString: String =
+    s"BpeTable(${merges.size} merges, ${if (byteLevel) "byte" else "char"}-level)"
 }
 
 object BpeTable {
-  /** Per-JVM canonical instance per merge list ([[BpeTable.readResolve]]):
-    * bounded by the number of DISTINCT vocabularies in use (one or two in
-    * any real job), so no eviction. */
-  private val interned =
-    new java.util.concurrent.ConcurrentHashMap[Vector[(String, String)], BpeTable]()
+  /** Per-JVM canonical instance per (merge list, mode)
+    * ([[BpeTable.readResolve]]): bounded by the number of DISTINCT
+    * vocabularies in use (one or two in any real job), so no eviction. */
+  private val interned = new java.util.concurrent.ConcurrentHashMap[
+    (Vector[(String, String)], Boolean), BpeTable]()
   def intern(t: BpeTable): BpeTable =
-    interned.computeIfAbsent(t.merges, _ => t)
+    interned.computeIfAbsent((t.merges, t.byteLevel), _ => t)
 }
 
 /** text → real merge-table BPE token count, one tight per-row pass (the

@@ -56,10 +56,25 @@ object Functions {
     reg.createOrReplaceTempFunction("graft_video_header",
       es => Mp4HeaderExpr(Cast(es.head, BinaryType)), "built-in")
     // optional 2nd arg: a GPT-2-format merges.txt path, resolved on the
-    // driver at analysis time (the parsed table ships in the plan)
+    // driver at analysis time (the parsed table ships in the plan); pass
+    // '' to keep the embedded fixture. Optional 3rd arg: pretokenizer
+    // mode 'char' (default) | 'byte' (GPT-2 byte-level — the mode for a
+    // verbatim upstream vocabulary; see pipeline.expr.Bpe).
     reg.createOrReplaceTempFunction("graft_bpe_count",
-      es => BpeCountExpr(Cast(es.head, StringType),
-        if (es.size > 1) Bpe.loadCached(strLit(es(1), "mergesPath")) else Bpe.Fixture),
+      es => {
+        val byteLevel = es.size > 2 && (strLit(es(2), "pretokenizer") match {
+          case "byte" => true
+          case "char" => false
+          case other => throw new IllegalArgumentException(
+            s"pretokenizer must be 'byte' or 'char', got '$other'")
+        })
+        val path = if (es.size > 1) strLit(es(1), "mergesPath") else ""
+        val table =
+          if (path.nonEmpty) Bpe.loadCached(path, byteLevel)
+          else if (byteLevel) Bpe.FixtureByteLevel
+          else Bpe.Fixture
+        BpeCountExpr(Cast(es.head, StringType), table)
+      },
       "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
       es => LangIdExpr(Cast(es.head, StringType)), "built-in")

@@ -199,4 +199,142 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeCountExpr(e, Bpe.load(path.toString)) == BpeCountExpr(e, tbl))
     assert(BpeCountExpr(e, Bpe.Fixture) != BpeCountExpr(e, tbl))
   }
+
+  // -------------------------------------------------------------------
+  // Byte-level (GPT-2) mode
+  // -------------------------------------------------------------------
+
+  /** The published GPT-2 pretokenizer pattern compiled the way the
+    * upstream (Unicode-aware) regex engine reads it — the independent
+    * oracle for the hand-rolled scanner in Bpe.gpt2TokenEnd. */
+  private val Gpt2Re = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  private def reTokens(s: String): Vector[String] = {
+    val m = Gpt2Re.matcher(s)
+    val b = Vector.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
+
+  test("byte-level: ByteEnc is the GPT-2 bytes_to_unicode bijection") {
+    assert(Bpe.ByteEnc.length == 256 && Bpe.ByteEnc.distinct.length == 256)
+    // the canonical pins every GPT-2 merges.txt relies on
+    assert(Bpe.ByteEnc(0x20) == 'Ġ') // space → U+0120
+    assert(Bpe.ByteEnc(0x0A) == 'Ċ') // LF → U+010A
+    assert(Bpe.ByteEnc(0x09) == 'ĉ') // tab → U+0109
+    assert(Bpe.ByteEnc(0xAD) == 'Ń') // soft hyphen, the 68th shifted byte
+    // printable-and-unambiguous bytes map to themselves
+    assert(Bpe.ByteEnc('a') == 'a' && Bpe.ByteEnc('!') == '!' &&
+      Bpe.ByteEnc(0xA1) == 0xA1.toChar && Bpe.ByteEnc(0xFF) == 0xFF.toChar)
+    // shifted bytes land at 0x100+n in increasing byte order
+    assert(Bpe.ByteEnc(0x00) == 0x100.toChar && Bpe.ByteEnc(0x01) == 0x101.toChar)
+    // UTF-8 multi-byte: é = C3 A9, both in keep ranges → the famous "Ã©"
+    assert(Bpe.toByteSymbols("é") == "Ã©")
+    assert(Bpe.toByteSymbols(" the") == "Ġthe")
+    assert(Bpe.toByteSymbols("\n\n") == "ĊĊ")
+  }
+
+  test("byte-level: hand-rolled GPT-2 pretokenizer == compiled pattern") {
+    val texts = Seq(
+      "Hello world", "don't stop, we're I've I'm he'll she'd it'S can't",
+      "  leading", "trailing  ", "a  b   c", "tabs\t\tand\nnewlines\r\n",
+      "    indented code\n        deeper\n", "東京タワー123ビル",
+      "über straße", "naïve café", "x y", "　ideographic space",
+      "𝒜𝒷𝒸 𝟙𝟚", "😀 emoji 🚀!", "price: $1,234.56 (-7%)",
+      "'quoted' ''s", " 's", "a'll", "I'LL", "'", "a'", "'x",
+      "", " ", "\n", "  ", "\n\n", " \n", "\n ", "mix3d4lph4num3ric",
+      "http://a.example/path?q=1&r=2", "a b", "end\t", "\n\nstart",
+      Bpe.TrainingCorpus.take(300))
+    texts.foreach { s =>
+      assert(Bpe.gpt2Pretokens(s).toVector == reTokens(s),
+        s"pretokenizer mismatch on '${s.take(40)}'")
+    }
+    // pretokens always concatenate back to the input (nothing dropped —
+    // unlike char level, whitespace is kept and counted)
+    texts.foreach(s => assert(Bpe.gpt2Pretokens(s).mkString == s))
+  }
+
+  test("byte-level: hand-computed merges; Ġ-marker entries fire") {
+    // a production-shaped vocabulary: space-marker merges building " the"
+    val tbl = pipeline.expr.BpeTable.intern(new pipeline.expr.BpeTable(
+      Vector(("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e")), byteLevel = true))
+    assert(tbl.countTokens(" the") == 1)  // Ġ+t → Ġt+h → Ġth+e → Ġthe
+    assert(tbl.countTokens("the") == 3)   // no leading space: no merge applies
+    assert(tbl.countTokens("the the") == 3 + 1)
+    // whitespace itself tokenizes: "a  b" → ["a", " ", " b"] → 1+1+2
+    assert(tbl.countTokens("a  b") == 4)
+    // parity with the independent rank-order applier over byte symbols,
+    // on the full adversarial set, against the LEARNED byte-level fixture
+    val adversarial = Seq(
+      "the quick brown fox", "don't we're it's", "  indent\n\ncode",
+      "東京タワー123ビル", "über straße", "😀!", " 's", "a  b   c",
+      "", " ", "\n\n", Bpe.TrainingCorpus.take(200))
+    adversarial.foreach { s =>
+      val mine = Bpe.FixtureByteLevel.countTokens(s)
+      val ref = reTokens(s)
+        .map(t => refEncodeLen(Bpe.toByteSymbols(t), Bpe.FixtureByteLevel.merges))
+        .sum
+      assert(mine == ref, s"byte-level mismatch on '${s.take(40)}': $mine vs $ref")
+    }
+  }
+
+  test("byte-level fixture: deterministic, Ġ merges learned, mode isolation") {
+    // rerun-stable (pure function of the embedded corpus)
+    assert(Bpe.learn(Bpe.TrainingCorpus, 8192, byteLevel = true) ==
+      Bpe.FixtureByteLevel.merges)
+    // the corpus-learned table carries space-marker merges — the entries a
+    // verbatim upstream vocabulary lives on — and they FIRE on real text
+    assert(Bpe.FixtureByteLevel.merges.exists(_._1.startsWith("Ġ")))
+    assert(Bpe.FixtureByteLevel.countTokens(" the") == 1,
+      "common ' the' must compress to one token under the byte-level fixture")
+    // same merges + different mode ≠ same table (equality, interning)
+    assert(Bpe.FixtureByteLevel != Bpe.Fixture)
+    val charTwin = pipeline.expr.BpeTable.intern(
+      new pipeline.expr.BpeTable(Bpe.FixtureByteLevel.merges, byteLevel = false))
+    assert(charTwin != Bpe.FixtureByteLevel && !(charTwin eq Bpe.FixtureByteLevel))
+  }
+
+  test("byte-level: loader round-trip; per-(path, mode) cache; SQL 3rd arg") {
+    val s = sc
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-spec-byte")
+    val path = dir.resolve("merges.txt")
+    // the byte-level fixture rendered to GPT-2 format and reloaded is the
+    // SAME tokenizer instance (interning by (merges, mode))
+    java.nio.file.Files.writeString(path,
+      Bpe.renderMerges(Bpe.FixtureByteLevel.merges))
+    assert(Bpe.load(path.toString, byteLevel = true) eq Bpe.FixtureByteLevel)
+    // one file, two modes → two distinct cached tables
+    val charT = Bpe.loadCached(path.toString)
+    val byteT = Bpe.loadCached(path.toString, byteLevel = true)
+    assert(!(charT eq byteT) && charT.merges == byteT.merges)
+    assert(byteT eq Bpe.loadCached(path.toString, byteLevel = true))
+    // Spark expression parity in byte mode (null-safe)
+    val d = Seq((1L, "the quick brown fox"), (2L, "a  b\n\nc"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = d.select(col("id"),
+      pipeline.ops.TextAnalysis.bpeTokenCountReal(col("text"), Bpe.FixtureByteLevel).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(out(1L) == Bpe.FixtureByteLevel.countTokens("the quick brown fox"))
+    assert(out(2L) == Bpe.FixtureByteLevel.countTokens("a  b\n\nc"))
+    assert(out(3L) == null)
+    // SQL surface: 3rd arg selects the pretokenizer; '' path keeps fixture
+    pipeline.expr.Functions.registerAll(s)
+    d.createOrReplaceTempView("bpe_byte_t")
+    val viaSql = s.sql(
+      "SELECT id, graft_bpe_count(text, '', 'byte') AS n FROM bpe_byte_t")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(viaSql == out)
+    val viaPath = s.sql(
+      s"SELECT id, graft_bpe_count(text, '${path.toString}', 'byte') AS n FROM bpe_byte_t")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(viaPath == out)
+    val bad = intercept[Exception] {
+      s.sql("SELECT graft_bpe_count(text, '', 'weird') FROM bpe_byte_t").collect()
+    }
+    assert(bad.getMessage.contains("pretokenizer") ||
+      Option(bad.getCause).exists(_.getMessage.contains("pretokenizer")))
+  }
 }

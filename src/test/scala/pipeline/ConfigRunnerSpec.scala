@@ -355,6 +355,16 @@ class ConfigRunnerSpec extends AnyFunSuite {
     val loaded = run(Map("mergesPath" -> mpath.toString))
     assert(loaded("u2") == 1 + 2 + 1) // who=1 (w-h,wh-o), is=2, who=1
     assert(loaded("u2") != real("u2"))
+    // pretokenizer=byte: GPT-2 byte-level pricing (whitespace counts, Ġ
+    // merges fire) — distinct from char-level on multi-space text
+    val byteLvl = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("token_count",
+        Map("pretokenizer" -> "byte")))(d)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else r.get(2))).toMap
+    assert(byteLvl("u1") ==
+      pipeline.expr.Bpe.FixtureByteLevel.countTokens("the quick brown fox"))
+    assert(byteLvl("u3") == null)
     // config-shaped failures at COMPILE time, not mid-job
     intercept[IllegalArgumentException] { run(Map("mode" -> "nope")) }
     intercept[IllegalArgumentException] {
@@ -362,6 +372,10 @@ class ConfigRunnerSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       run(Map("mode" -> "estimate", "mergesPath" -> mpath.toString))
+    }
+    intercept[IllegalArgumentException] { run(Map("pretokenizer" -> "nope")) }
+    intercept[IllegalArgumentException] {
+      run(Map("mode" -> "whitespace", "pretokenizer" -> "byte"))
     }
   }
 
