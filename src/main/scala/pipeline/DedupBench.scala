@@ -189,6 +189,12 @@ object DedupBench {
           xxhash64(col("url")).as("id"), col("url"), col("text"), col("lang"))
       }
       cdocs.limit(1000).count() // warm
+      // force both BPE fixture learns OUTSIDE the timed blocks: class-load
+      // learning is one-time driver cost, not the per-row pricing the
+      // bpe_count rows compare — on a cold JVM it would land inside
+      // whichever row touched its fixture first
+      pipeline.expr.Bpe.Fixture.ranks
+      pipeline.expr.Bpe.FixtureByteLevel.ranks
       time("pii_redact")(cdocs
         .select(CorpusRefine.redactPii(col("text")).as("r"),
           CorpusRefine.piiCounts(col("text")).as("c"))

@@ -170,7 +170,7 @@ object TransformCompiler {
         val pretok = opt("pretokenizer").getOrElse("char")
         if (pretok != "char" && pretok != "byte")
           err(s"pretokenizer must be 'char' or 'byte', got '$pretok'")
-        if (pretok == "byte" && mode != "real")
+        if (opt("pretokenizer").isDefined && mode != "real")
           err(s"'pretokenizer' only applies to mode=real, got mode=$mode")
         val counter: Column => Column = mode match {
           case "real" =>

@@ -259,8 +259,20 @@ object Bpe {
   private val loadedTables =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean), BpeTable]()
 
-  /** Number of BPE symbols for ONE pretoken: start from characters, merge
-    * the lowest-ranked adjacent pair until none applies. */
+  /** Number of BPE symbols for ONE pretoken: start from characters, then
+    * per pass find the lowest-ranked adjacent pair present and merge ALL
+    * its (leftmost-first, non-overlapping) occurrences — the published
+    * GPT-2 word loop. For any rank-ordered table (every learned table,
+    * and any merges.txt recorded in learn order) this is provably
+    * identical to merging one occurrence at a time: a pair containing a
+    * composite symbol was necessarily learned after that symbol, so no
+    * merge can create a pair that undercuts the current minimum, and a
+    * pair cannot recreate itself. Merge-all also bounds degenerate
+    * uniform runs — a byte-level pretoken of n padding spaces with
+    * space-run merges collapses in O(log n) passes (O(n log n) work)
+    * where one-at-a-time paid O(n) passes (O(n²)) — the junk-doc shape
+    * (whitespace padding, minified JS, base64) a web crawl actually
+    * contains. */
   def encodeLen(token: String, ranks: java.util.HashMap[String, Integer]): Int = {
     if (token.length <= 1) return token.length
     var syms = new java.util.ArrayList[String](token.length)
@@ -269,17 +281,27 @@ object Bpe {
     var merging = true
     while (merging && syms.size > 1) {
       var bestRank = Int.MaxValue
-      var bestAt = -1
+      var bestL: String = null
+      var bestR: String = null
       var j = 0
       while (j < syms.size - 1) {
         val r = ranks.get(syms.get(j) + "\u0000" + syms.get(j + 1))
-        if (r != null && r < bestRank) { bestRank = r; bestAt = j }
+        if (r != null && r < bestRank) {
+          bestRank = r; bestL = syms.get(j); bestR = syms.get(j + 1)
+        }
         j += 1
       }
-      if (bestAt < 0) merging = false
+      if (bestL == null) merging = false
       else {
-        syms.set(bestAt, syms.get(bestAt) + syms.get(bestAt + 1))
-        syms.remove(bestAt + 1)
+        val merged = bestL + bestR
+        val out = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k < syms.size - 1 && syms.get(k) == bestL && syms.get(k + 1) == bestR) {
+            out.add(merged); k += 2
+          } else { out.add(syms.get(k)); k += 1 }
+        }
+        syms = out
       }
     }
     syms.size
@@ -478,6 +500,26 @@ final class BpeTable(val merges: Vector[(String, String)],
     * (mapping is injective; the memo is per-table, so modes never
     * cross-contaminate); same >64-char whole-document bypass as char
     * level. */
+  /** Encode length for one pretoken through the per-thread memo. `tok` is
+    * the RAW pretoken (the memo key); `syms` the symbol string to encode
+    * (== tok for char level, ByteEnc-mapped for byte level). Long tokens
+    * bypass the memo: a whitespace-free document (CJK, base64, minified
+    * JS) is ONE pretoken, and caching whole documents per pooled thread
+    * would pin unbounded heap; >64-char tokens rarely repeat Zipf-style
+    * anyway. */
+  @inline private def memoLen(
+      tok: String, syms: String,
+      rk: java.util.HashMap[String, Integer],
+      cache: java.util.LinkedHashMap[String, Integer]): Int = {
+    if (tok.length > 64) return Bpe.encodeLen(syms, rk)
+    var n = cache.get(tok)
+    if (n == null) {
+      n = Integer.valueOf(Bpe.encodeLen(syms, rk))
+      cache.put(tok, n)
+    }
+    n.intValue
+  }
+
   private def countTokensByteLevel(text: String): Int = {
     val rk = ranks
     val cache = cacheLocal.get()
@@ -488,15 +530,7 @@ final class BpeTable(val merges: Vector[(String, String)],
       val e = Bpe.gpt2TokenEnd(text, i)
       val tok = text.substring(i, e)
       i = e
-      if (tok.length > 64) total += Bpe.encodeLen(Bpe.toByteSymbols(tok), rk)
-      else {
-        var n = cache.get(tok)
-        if (n == null) {
-          n = Integer.valueOf(Bpe.encodeLen(Bpe.toByteSymbols(tok), rk))
-          cache.put(tok, n)
-        }
-        total += n.intValue
-      }
+      total += memoLen(tok, Bpe.toByteSymbols(tok), rk, cache)
     }
     total
   }
@@ -524,19 +558,7 @@ final class BpeTable(val merges: Vector[(String, String)],
           while (i < len && { val x = text.charAt(i); !isWs(x) && !isAl(x) && !isDg(x) }) i += 1
         }
         val tok = text.substring(start, i)
-        // long tokens bypass the memo: a whitespace-free document (CJK,
-        // base64, minified JS) is ONE pretoken, and caching whole
-        // documents per pooled thread would pin unbounded heap; >64-char
-        // tokens rarely repeat Zipf-style anyway
-        if (tok.length > 64) total += Bpe.encodeLen(tok, rk)
-        else {
-          var n = cache.get(tok)
-          if (n == null) {
-            n = Integer.valueOf(Bpe.encodeLen(tok, rk))
-            cache.put(tok, n)
-          }
-          total += n.intValue
-        }
+        total += memoLen(tok, tok, rk, cache)
       }
     }
     total

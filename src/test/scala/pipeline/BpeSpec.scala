@@ -280,6 +280,26 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level: degenerate uniform runs stay tractable (merge-all per pass)") {
+    // a junk doc padded with 100k spaces: ONE >64-char pretoken, memo
+    // bypassed. With run merges (the shape real GPT-2 vocabularies carry)
+    // the merge-all-per-pass encode collapses it in O(log n) passes —
+    // one-at-a-time would do ~1e10 operations here and hang the suite.
+    val runTbl = pipeline.expr.BpeTable.intern(new pipeline.expr.BpeTable(
+      Vector(("Ġ", "Ġ"), ("ĠĠ", "ĠĠ")), byteLevel = true))
+    val padded = " " * 100000
+    // 100k Ġ → 50k ĠĠ → 25k ĠĠĠĠ, no further merge applies
+    assert(runTbl.countTokens(padded) == 25000)
+    // trailing pad after text: run of 99999 splits k−1/1 before 'x'
+    assert(Bpe.gpt2Pretokens(" " * 3 + "x").toVector == Vector("  ", " x"))
+    // merge-all == one-at-a-time on a mixed string (regression vs the
+    // independent rank-order applier, which IS one-at-a-time)
+    val mixed = "  a  b " + (" " * 70) + " end"
+    val viaRef = reTokens(mixed)
+      .map(t => refEncodeLen(Bpe.toByteSymbols(t), runTbl.merges)).sum
+    assert(runTbl.countTokens(mixed) == viaRef)
+  }
+
   test("byte-level fixture: deterministic, Ġ merges learned, mode isolation") {
     // rerun-stable (pure function of the embedded corpus)
     assert(Bpe.learn(Bpe.TrainingCorpus, 8192, byteLevel = true) ==
