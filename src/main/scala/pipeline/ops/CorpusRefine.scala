@@ -343,9 +343,23 @@ object CorpusRefine {
    * < 2^62 — full-range hash ids are rejected (their "order" is arbitrary;
    * re-key before packing). Bucketing uses integer `div`, never double
    * division (precision breaks past 2^53).
+   *
+   * `equalize = true` derives bucket boundaries from the id QUANTILES
+   * (one extra column-pruned pass via approxQuantile; the driver holds ≤
+   * `buckets`−1 longs) instead of uniform span slices: bucket population
+   * then tracks ROW COUNT, not span coverage, so adversarially clustered
+   * ids (tenant ranges, timestamp bursts, hash prefixes packed into a
+   * narrow sub-span) no longer funnel most rows into one local-window
+   * task. The SHARD OUTPUT IS IDENTICAL either way — any boundary set
+   * that respects id order produces the same global prefix sum (ties
+   * never straddle a boundary: `>=` sends equal ids to the same bucket)
+   * — equalize only re-balances task-level parallelism, which is why it
+   * can default off (zero extra passes) and be flipped on for skewed id
+   * spaces without re-validating results.
    */
   def packTokenShards(df: DataFrame, idCol: String, tokenCol: String,
-                      budget: Long, buckets: Int = 256): DataFrame = {
+                      budget: Long, buckets: Int = 256,
+                      equalize: Boolean = false): DataFrame = {
     require(budget > 0 && buckets > 0, s"bad budget=$budget buckets=$buckets")
     val mm = df.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi"),
@@ -365,11 +379,29 @@ object CorpusRefine {
     require(span <= (BigInt(1) << 62),
       s"id span $span too large for range bucketing — ids look like " +
         "full-range hashes, whose order is arbitrary; re-key before packing")
-    val width = ((span + buckets - 1) / buckets).toLong.max(1L)
-    val bucketed = df
-      .withColumn("_d", col(idCol).cast("long") - lit(lo))
-      .withColumn("_b", expr(s"_d div ${width}L"))
-      .drop("_d")
+    val bucketed = if (equalize) {
+      // interior quantiles of the observed id distribution; floor-to-long
+      // keeps the boundary comparison in exact integer space (a double
+      // compare would fuzz order past 2^53), and monotonicity of floor
+      // preserves the id order the prefix sum depends on
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Long]
+        else df.select(col(idCol).cast("double").as("_q"))
+          .stat.approxQuantile("_q", probs, 0.001)
+          .map(q => math.floor(q).toLong).distinct.sorted
+      if (bounds.isEmpty) df.withColumn("_b", lit(0L))
+      else {
+        val arr = array(bounds.map(lit(_)): _*)
+        df.withColumn("_b",
+          size(filter(arr, b => col(idCol).cast("long") >= b)).cast("long"))
+      }
+    } else {
+      val width = ((span + buckets - 1) / buckets).toLong.max(1L)
+      df.withColumn("_d", col(idCol).cast("long") - lit(lo))
+        .withColumn("_b", expr(s"_d div ${width}L"))
+        .drop("_d")
+    }
     val localW = Window.partitionBy(col("_b")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = bucketed

@@ -268,6 +268,44 @@ class CorpusRefineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("null id"), err.getMessage)
   }
 
+  test("packTokenShards equalize: identical shards on clustered ids, balanced buckets") {
+    val s = sc
+    import s.implicits._
+    // adversarially clustered ids: 90% packed into [0, 900), 10% strewn
+    // across a 10^9 span — span-derived bucketing funnels the dense 90%
+    // into bucket 0 (one straggler local-window task at scale)
+    val ids = (0L until 900L) ++ (0L until 100L).map(i => 1000000L + i * 10000000L)
+    val d = ids.map(i => (i, (i % 7) + 1)).toDF("doc_id", "n_tokens").repartition(8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val plain = rows(CorpusRefine.packTokenShards(d, "doc_id", "n_tokens", 50L, 10))
+    val eq = rows(CorpusRefine.packTokenShards(d, "doc_id", "n_tokens", 50L, 10,
+      equalize = true))
+    // the CONTRACT: equalize re-balances parallelism only — any boundary
+    // set respecting id order yields the same global prefix sum, so the
+    // shard output is bit-identical
+    assert(eq.toSeq == plain.toSeq)
+    // and the greedy reference still holds
+    var cum = 0L
+    eq.foreach { case (_, n, shard) => assert(shard == cum / 50L); cum += n }
+    // balance, pinned with the same quantile rule the operator uses:
+    // span-derived puts >=90% of rows in one bucket; quantile boundaries
+    // cap the largest bucket near n/buckets
+    val span = ids.max - ids.min + 1
+    val width = (span + 9) / 10
+    val spanMax = ids.groupBy(i => (i - ids.min) / width).values.map(_.size).max
+    assert(spanMax >= 900, s"fixture must be skewed, got max bucket $spanMax")
+    val bounds = d.select(col("doc_id").cast("double").as("_q"))
+      .stat.approxQuantile("_q", (1 until 10).map(_.toDouble / 10).toArray, 0.001)
+      .map(math.floor(_).toLong).distinct.sorted
+    val eqMax = ids.groupBy(i => bounds.count(_ <= i)).values.map(_.size).max
+    assert(eqMax <= 2 * ids.size / 10,
+      s"quantile buckets must be balanced, got max $eqMax of ${ids.size}")
+    // buckets=1 degenerates to a single bucket without erroring
+    assert(rows(CorpusRefine.packTokenShards(d, "doc_id", "n_tokens", 50L, 1,
+      equalize = true)).toSeq == plain.toSeq)
+  }
+
   test("decontaminate: shared-shingle threshold, benchmark broadcast, apply") {
     val s = sc
     import s.implicits._
