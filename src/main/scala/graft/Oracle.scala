@@ -859,6 +859,31 @@ object Oracle {
         | CAST((cum - n_tokens) // 1000 AS BIGINT) AS shard
         |FROM c""".stripMargin,
 
+    "q_bpe_encode" ->
+      // byte-level decode∘encode is the identity on ANY text (whitespace
+      // included) — the oracle pins the input itself; ids_bounded is the
+      // structural 1..n_bytes envelope (BPE never emits more tokens than
+      // bytes, and non-empty text emits at least one)
+      """SELECT doc_id, text AS decoded, TRUE AS ids_bounded
+        |FROM documents""".stripMargin,
+
+    "q_token_shards" ->
+      // the oracle derives shard boundaries from ITS OWN ws-token prefix
+      // sum (the q_pack_shards arithmetic) and reassembles each shard's
+      // exact text in doc order — a wrong id, merge, or shard assignment
+      // on the Spark side breaks the string equality
+      """WITH t AS (SELECT doc_id, text,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x != '')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, text, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM t)
+        |SELECT CAST((cum - n_tokens) // 1000 AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  string_agg(text, '' ORDER BY doc_id) AS shard_text
+        |FROM c GROUP BY 1""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH sh AS (
         |  SELECT doc_id, unnest($shinglesSql) AS sh FROM (

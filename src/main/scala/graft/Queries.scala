@@ -705,6 +705,46 @@ object Queries {
       budget = 1000L, buckets = 8)
   }
 
+  /** REAL token-ID emission + lossless round-trip: every doc encoded to
+    * its byte-level BPE id sequence, then DECODED BACK — the oracle pins
+    * `decoded = text` byte for byte (byte-level ids cover whitespace, so
+    * decode∘encode is the identity; a wrong merge, id, or pretoken
+    * boundary shows up as a diff). Exact id SEQUENCES are pinned against
+    * an independent applier in BpeSpec — iterative merge loops aren't
+    * SQL-expressible, the round-trip is. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import pipeline.expr.Bpe
+    t(s, dir, "documents")
+      .withColumn("ids", Bpe.bpeEncode(col("text"), Bpe.FixtureByteLevel))
+      .select(col("doc_id"),
+        Bpe.bpeDecode(col("ids"), Bpe.FixtureByteLevel).as("decoded"),
+        (size(col("ids")) >= 1 &&
+          size(col("ids")) <= octet_length(col("text"))).as("ids_bounded"))
+  }
+
+  /** Trainer-shard emission end-to-end: encode → pack → per-shard
+    * reassembly. Budgets use the ws token count (SQL-expressible) so the
+    * DuckDB oracle derives the SAME shard boundaries from its own prefix
+    * sum, then rebuilds each shard's exact text with an ordered
+    * string_agg — every id array must decode byte-identically AND land in
+    * the right shard at the right position. The production writer budgets
+    * on size(ids) (CorpusRefine.emitTokenShards; spec + 1M drill). */
+  def qTokenShards(s: SparkSession, dir: String): DataFrame = {
+    import pipeline.expr.Bpe
+    val enc = t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      Bpe.bpeEncode(col("text"), Bpe.FixtureByteLevel).as("ids"))
+    CorpusRefine.packTokenShards(enc, "doc_id", "n_tokens",
+      budget = 1000L, buckets = 8, carryCols = Seq("ids"))
+      .withColumn("decoded", Bpe.bpeDecode(col("ids"), Bpe.FixtureByteLevel))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("decoded")))),
+            x => x("decoded")), "").as("shard_text"))
+  }
+
   /** Benchmark decontamination: docs sharing ≥ 5 distinct 3-gram shingles
     * with the held-out "benchmark" slice (doc_id % 50 == 0), benchmark
     * docs themselves excluded from the report. */

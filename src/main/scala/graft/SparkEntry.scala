@@ -70,6 +70,8 @@ object SparkEntry {
     "q_corpus_assemble" -> (Queries.qCorpusAssemble _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
     "q_pack_shards" -> (Queries.qPackShards _),
+    "q_bpe_encode" -> (Queries.qBpeEncode _),
+    "q_token_shards" -> (Queries.qTokenShards _),
     "q_decontaminate" -> (Queries.qDecontaminate _),
     "q_multimodal" -> (Queries.qMultimodal _),
     "q_multimodal_image" -> (Queries.qMultimodalImage _),

@@ -219,6 +219,23 @@ object DedupBench {
         .select(pipeline.ops.TextAnalysis
           .bpeTokenCountReal(col("text"), pipeline.expr.Bpe.FixtureByteLevel).as("n"))
         .filter(col("n") > 0).count())
+      // id EMISSION costs more than counting (per-pretoken int arrays
+      // materialize + ship through the projection instead of one int) —
+      // the corpus→training-shards story prices at this rate, measure it
+      time("bpe_encode_ids")(cdocs
+        .select(pipeline.expr.Bpe.bpeEncode(col("text"),
+          pipeline.expr.Bpe.FixtureByteLevel).as("ids"))
+        .filter(size(col("ids")) > 0).count())
+      // the full emit: encode + size() budget + distributed prefix-sum
+      // pack. The corpus id is a full-range hash, which packTokenShards
+      // rejects by design (arbitrary order) — re-key with monotonic ids
+      // (partition-clustered, the adversarial shape equalize=true exists
+      // for)
+      time("emit_token_shards")(CorpusRefine.emitTokenShards(
+        cdocs.withColumn("seq", monotonically_increasing_id()),
+        "seq", "text", pipeline.expr.Bpe.FixtureByteLevel,
+        budget = 1L << 22, buckets = 256, equalize = true)
+        .filter(col("shard") >= 0).count())
       time("lang_id_native")(cdocs
         .select(pipeline.ops.TextAnalysis.langId(col("text")).as("l"))
         .filter(col("l") =!= "und").count())

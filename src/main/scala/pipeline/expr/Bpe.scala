@@ -3,7 +3,9 @@ package pipeline.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Deterministic merge-table byte-pair encoding: a REAL BPE tokenizer,
@@ -37,8 +39,9 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
  *  - BYTE-LEVEL (GPT-2's own convention): the GPT-2 pretokenizer regex
  *    (contraction suffixes, space-attached letter/number/punct runs,
  *    whitespace-run tokens — hand-rolled in [[Bpe.gpt2TokenEnd]],
- *    spec-pinned equal to the published pattern compiled with Java's
- *    UNICODE_CHARACTER_CLASS), then each pretoken's UTF-8 bytes map
+ *    spec-pinned equal to the published pattern with Python-regex `\s`
+ *    semantics spelled out: Unicode White_Space plus U+001C–001F), then
+ *    each pretoken's UTF-8 bytes map
  *    through the GPT-2 `bytes_to_unicode` table ([[Bpe.ByteEnc]]:
  *    0x20→`Ġ`, 0x0A→`Ċ`, printable bytes→themselves), symbols = mapped
  *    bytes. Under this mode a VERBATIM upstream GPT-2-family merges.txt
@@ -239,25 +242,120 @@ object Bpe {
     * it in the driver cwd on a cluster). `byteLevel = true` for a
     * verbatim upstream GPT-2-family vocabulary (symbols are
     * [[ByteEnc]]-mapped bytes, `Ġ` markers fire); default char-level. */
-  def load(path: String, byteLevel: Boolean = false): BpeTable = {
+  def load(path: String, byteLevel: Boolean = false): BpeTable =
+    load(path, byteLevel, "")
+
+  /** [[load]] plus a GPT-2-format `vocab.json` id map (`{"token": id}`,
+    * [[parseVocab]]): the table then emits the UPSTREAM ids — what a
+    * trainer that shipped the vocabulary actually consumes. Only
+    * meaningful in byte-level mode (GPT-2 ids are defined over
+    * byte-symbol strings); validated eagerly for full coverage — all 256
+    * base byte symbols and every merge product must carry an id, the
+    * GPT-2 invariant that makes encode total (no UNK at runtime).
+    * `vocabPath = ""` keeps rank-derived ids ([[BpeTable.vocab]]). */
+  def load(path: String, byteLevel: Boolean, vocabPath: String): BpeTable = {
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
-    BpeTable.intern(new BpeTable(
-      parseMerges(scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala),
-      byteLevel))
+    val merges =
+      parseMerges(scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala)
+    val explicit =
+      if (vocabPath.isEmpty) None
+      else {
+        require(byteLevel,
+          "vocab.json ids are defined over byte-level symbols (the GPT-2 " +
+            "format); load with byteLevel = true or drop vocabPath")
+        val v = loadVocab(vocabPath)
+        validateVocabCoverage(merges, v, vocabPath)
+        Some(v)
+      }
+    BpeTable.intern(new BpeTable(merges, byteLevel, explicit))
   }
 
-  /** [[load]] with a per-(path, mode) cache: config compilation and SQL
-    * function resolution may build the same expression many times per
-    * session, and a 50k-merge production table should parse once, not per
-    * query. Deliberately no invalidation — a vocabulary file is immutable
-    * for the life of a training run; editing it in place mid-session is a
-    * user error this cache makes visible rather than hides. */
-  def loadCached(path: String, byteLevel: Boolean = false): BpeTable =
-    loadedTables.computeIfAbsent((path, byteLevel), _ => load(path, byteLevel))
+  /** [[load]] with a per-(path, mode, vocabPath) cache: config compilation
+    * and SQL function resolution may build the same expression many times
+    * per session, and a 50k-merge production table should parse once, not
+    * per query. Deliberately no invalidation — a vocabulary file is
+    * immutable for the life of a training run; editing it in place
+    * mid-session is a user error this cache makes visible rather than
+    * hides. */
+  def loadCached(path: String, byteLevel: Boolean = false,
+                 vocabPath: String = ""): BpeTable =
+    loadedTables.computeIfAbsent((path, byteLevel, vocabPath),
+      _ => load(path, byteLevel, vocabPath))
 
   private val loadedTables =
-    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), BpeTable]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean, String), BpeTable]()
+
+  /** Parse GPT-2 `vocab.json`: one JSON object mapping token string → id.
+    * Field order is preserved; ids must be distinct non-negative integers
+    * and tokens distinct (a duplicate on either side corrupts the
+    * encode/decode bijection — fail fast, never last-wins). Non-integral
+    * ids fail too: Jackson's asInt() would silently coerce. */
+  def parseVocab(json: String): Vector[(String, Int)] = {
+    // STRICT_DUPLICATE_DETECTION: plain readTree keeps the LAST duplicate
+    // key silently — a duplicated token in a vocab file is corruption that
+    // must fail, not last-wins
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.enable(com.fasterxml.jackson.core.JsonParser.Feature.STRICT_DUPLICATE_DETECTION)
+    val root =
+      try mapper.readTree(json)
+      catch {
+        case e: com.fasterxml.jackson.core.JsonProcessingException =>
+          throw new IllegalArgumentException(s"vocab.json parse: ${e.getMessage}", e)
+      }
+    require(root != null && root.isObject,
+      "vocab.json must be a single JSON object {\"token\": id}")
+    val out = Vector.newBuilder[(String, Int)]
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      if (!v.isIntegralNumber || !v.canConvertToInt || v.asLong() < 0)
+        throw new IllegalArgumentException(
+          s"vocab.json id for '${e.getKey}' must be a non-negative int, got $v")
+      out += ((e.getKey, v.intValue))
+    }
+    val vs = out.result()
+    val dupTok = vs.groupBy(_._1).collect { case (t, g) if g.size > 1 => t }
+    require(dupTok.isEmpty, s"vocab.json duplicate token(s): ${dupTok.take(3).mkString(", ")}")
+    val dupId = vs.groupBy(_._2).collect { case (i, g) if g.size > 1 => i }
+    require(dupId.isEmpty, s"vocab.json duplicate id(s): ${dupId.take(3).mkString(", ")}")
+    vs
+  }
+
+  def loadVocab(path: String): Vector[(String, Int)] =
+    parseVocab(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Render a vocabulary back to `vocab.json` format —
+    * parseVocab∘renderVocab is identity (symbols like `Ġ` escape through
+    * Jackson's standard JSON string rules). */
+  def renderVocab(vocab: Vector[(String, Int)]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    vocab.foreach { case (t, i) => node.put(t, i) }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  /** The GPT-2 coverage invariant an explicit vocab must satisfy for
+    * byte-level encode to be TOTAL: an id for each of the 256 base byte
+    * symbols and for every merge product. Checked at load, never at
+    * encode — a missing entry is a corrupt vocabulary, not a data error. */
+  private def validateVocabCoverage(merges: Vector[(String, String)],
+                                    vocab: Vector[(String, Int)],
+                                    path: String): Unit = {
+    val toks = vocab.iterator.map(_._1).toSet
+    var b = 0
+    while (b < 256) {
+      val s = String.valueOf(ByteEnc(b))
+      require(toks.contains(s),
+        s"$path: missing base byte symbol '$s' (byte $b) — not a full GPT-2 vocab")
+      b += 1
+    }
+    merges.foreach { case (l, r) =>
+      require(toks.contains(l + r), s"$path: missing merge product '${l + r}'")
+    }
+  }
 
   /** Number of BPE symbols for ONE pretoken: start from characters, then
     * per pass find the lowest-ranked adjacent pair present and merge ALL
@@ -273,8 +371,15 @@ object Bpe {
     * where one-at-a-time paid O(n) passes (O(n²)) — the junk-doc shape
     * (whitespace padding, minified JS, base64) a web crawl actually
     * contains. */
-  def encodeLen(token: String, ranks: java.util.HashMap[String, Integer]): Int = {
-    if (token.length <= 1) return token.length
+  def encodeLen(token: String, ranks: java.util.HashMap[String, Integer]): Int =
+    if (token.length <= 1) token.length else encodeSyms(token, ranks).size
+
+  /** The merged SYMBOL SEQUENCE for one pretoken — the id-emission twin of
+    * [[encodeLen]] (same merge loop; length == encodeLen by construction,
+    * spec-pinned). Callers map each symbol through a vocabulary to get the
+    * token-id sequence a trainer consumes. */
+  def encodeSyms(token: String,
+                 ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
     var syms = new java.util.ArrayList[String](token.length)
     var i = 0
     while (i < token.length) { syms.add(String.valueOf(token.charAt(i))); i += 1 }
@@ -304,7 +409,7 @@ object Bpe {
         syms = out
       }
     }
-    syms.size
+    syms
   }
 
   // the pretokenizer's three character classes, exactly as the regex
@@ -343,6 +448,16 @@ object Bpe {
     a
   }
 
+  /** Inverse of [[ByteEnc]]: char code → byte value, −1 for chars outside
+    * the bijection's image (max image char is 0x100+67 = 0x143). Decoding
+    * ids → text walks each vocab symbol's chars through this table. */
+  val ByteDec: Array[Int] = {
+    val a = Array.fill(0x144)(-1)
+    var b = 0
+    while (b < 256) { a(ByteEnc(b).toInt) = b; b += 1 }
+    a
+  }
+
   /** UTF-8 bytes of a pretoken mapped through [[ByteEnc]] — the symbol
     * string byte-level merges operate on (one char per BYTE). */
   def toByteSymbols(token: String): String = {
@@ -355,11 +470,15 @@ object Bpe {
 
   // GPT-2 pretokenizer character classes, by CODEPOINT (the pattern is
   // codepoint-wise; supplementary-plane letters must class as letters):
-  // \s = the Unicode White_Space property (what Java's \s matches under
-  // UNICODE_CHARACTER_CLASS — spec-pinned against the compiled pattern),
-  // \p{L} = the five L categories, \p{N} = Nd|Nl|No.
+  // \s = PYTHON-regex whitespace — the Unicode White_Space property PLUS
+  // the four information separators U+001C–001F (str.isspace semantics,
+  // which the upstream tokenizer's `regex` module follows; Java's \s under
+  // UNICODE_CHARACTER_CLASS excludes them, so the spec's oracle pattern
+  // spells the class out explicitly), \p{L} = the five L categories,
+  // \p{N} = Nd|Nl|No.
   @inline private[expr] def isWsU(cp: Int): Boolean =
-    (cp >= 0x09 && cp <= 0x0D) || cp == 0x20 || cp == 0x85 || cp == 0xA0 ||
+    (cp >= 0x09 && cp <= 0x0D) || (cp >= 0x1C && cp <= 0x1F) || cp == 0x20 ||
+      cp == 0x85 || cp == 0xA0 ||
       cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200A) || cp == 0x2028 ||
       cp == 0x2029 || cp == 0x202F || cp == 0x205F || cp == 0x3000
   @inline private[expr] def isLu(cp: Int): Boolean = Character.isLetter(cp)
@@ -441,6 +560,16 @@ object Bpe {
     * GPT-2 merges.txt) — the production-vocabulary path. */
   def bpeCount(text: Column, table: BpeTable): Column =
     column(BpeCountExpr(expression(text.cast("string")), table))
+
+  /** Column form: token-ID sequence (`array<int>`) — see
+    * [[BpeTable.encodeIds]]. Null text → null. */
+  def bpeEncode(text: Column, table: BpeTable = Fixture): Column =
+    column(BpeEncodeExpr(expression(text.cast("string")), table))
+
+  /** Column form: ids → text — see [[BpeTable.decodeIds]]. Null ids (or
+    * an array with null elements, or out-of-vocabulary ids) → null. */
+  def bpeDecode(ids: Column, table: BpeTable = Fixture): Column =
+    column(BpeDecodeExpr(expression(ids.cast("array<int>")), table))
 }
 
 /**
@@ -452,10 +581,16 @@ object Bpe {
  * canonically equal (exchange reuse, semanticEquals).
  */
 final class BpeTable(val merges: Vector[(String, String)],
-                     val byteLevel: Boolean) extends Serializable {
+                     val byteLevel: Boolean,
+                     val explicitVocab: Option[Vector[(String, Int)]])
+    extends Serializable {
 
   /** Char-level table (the default mode). */
-  def this(merges: Vector[(String, String)]) = this(merges, false)
+  def this(merges: Vector[(String, String)]) = this(merges, false, None)
+
+  /** Rank-derived ids (no vocab.json). */
+  def this(merges: Vector[(String, String)], byteLevel: Boolean) =
+    this(merges, byteLevel, None)
 
   /** Deserialization interns into the per-JVM cache: the table ships in
     * every task binary, and WITHOUT interning each task would rebuild the
@@ -472,6 +607,60 @@ final class BpeTable(val merges: Vector[(String, String)],
       if (!m.containsKey(l + "\u0000" + r)) m.put(l + "\u0000" + r, i)
     }
     m
+  }
+
+  /**
+   * The vocabulary (token symbol → id): the loaded vocab.json when one was
+   * given, else DERIVED deterministically from the table itself:
+   *
+   *  - byte-level: ids 0..255 are the 256 [[Bpe.ByteEnc]] symbols in byte
+   *    order, then each NEW merge product takes the next id in rank order
+   *    (two merges can build the same product string; the first keeps the
+   *    id). Every encodable symbol has an id — encode is total, no UNK.
+   *  - char-level: the base alphabet is the sorted distinct chars of the
+   *    merge symbols, products follow in rank order, and one extra UNK id
+   *    ([[unkId]], one past the last) catches chars outside the training
+   *    alphabet — a finite char-level vocabulary cannot cover Unicode.
+   */
+  lazy val vocab: Vector[(String, Int)] = explicitVocab.getOrElse {
+    val base: Vector[String] =
+      if (byteLevel) (0 until 256).map(b => String.valueOf(Bpe.ByteEnc(b))).toVector
+      else merges.iterator.flatMap { case (l, r) => (l + r).iterator }
+        .map(String.valueOf(_)).toVector.distinct.sorted
+    val out = Vector.newBuilder[(String, Int)]
+    val seen = new java.util.HashSet[String]()
+    var id = 0
+    (base.iterator ++ merges.iterator.map { case (l, r) => l + r }).foreach { s =>
+      if (seen.add(s)) { out += ((s, id)); id += 1 }
+    }
+    out.result()
+  }
+
+  /** UNK id for derived char-level tables (one past the largest vocab id);
+    * −1 for byte-level and explicit vocabularies, whose coverage is total
+    * (encode throws on a gap there — it would mean a corrupt vocab, not a
+    * data condition). */
+  lazy val unkId: Int =
+    if (byteLevel || explicitVocab.isDefined) -1
+    else vocab.iterator.map(_._2).maxOption.getOrElse(-1) + 1
+
+  /** Ids a trainer must size its embedding matrix for (UNK included). */
+  def vocabSize: Int =
+    math.max(vocab.iterator.map(_._2).maxOption.getOrElse(-1), unkId) + 1
+
+  @transient private lazy val idOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
+    m
+  }
+
+  // id → symbol; dense array (GPT-2 vocabularies are dense; derived ones
+  // are by construction). UNK decodes to U+FFFD, the standard replacement.
+  @transient private lazy val symAt: Array[String] = {
+    val a = new Array[String](vocabSize)
+    vocab.foreach { case (t, i) => a(i) = t }
+    if (unkId >= 0) a(unkId) = "�"
+    a
   }
 
   /** Per-thread LRU memo of pretoken → encoded length: word frequency is
@@ -500,21 +689,19 @@ final class BpeTable(val merges: Vector[(String, String)],
     * (mapping is injective; the memo is per-table, so modes never
     * cross-contaminate); same >64-char whole-document bypass as char
     * level. */
-  /** Encode length for one pretoken through the per-thread memo. `tok` is
-    * the RAW pretoken (the memo key); `syms` the symbol string to encode
-    * (== tok for char level, ByteEnc-mapped for byte level). Long tokens
-    * bypass the memo: a whitespace-free document (CJK, base64, minified
-    * JS) is ONE pretoken, and caching whole documents per pooled thread
-    * would pin unbounded heap; >64-char tokens rarely repeat Zipf-style
-    * anyway. */
+  /** Encode length for one CHAR-LEVEL pretoken through the per-thread
+    * memo (symbols == the raw pretoken). Long tokens bypass the memo: a
+    * whitespace-free document (CJK, base64, minified JS) is ONE pretoken,
+    * and caching whole documents per pooled thread would pin unbounded
+    * heap; >64-char tokens rarely repeat Zipf-style anyway. */
   @inline private def memoLen(
-      tok: String, syms: String,
+      tok: String,
       rk: java.util.HashMap[String, Integer],
       cache: java.util.LinkedHashMap[String, Integer]): Int = {
-    if (tok.length > 64) return Bpe.encodeLen(syms, rk)
+    if (tok.length > 64) return Bpe.encodeLen(tok, rk)
     var n = cache.get(tok)
     if (n == null) {
-      n = Integer.valueOf(Bpe.encodeLen(syms, rk))
+      n = Integer.valueOf(Bpe.encodeLen(tok, rk))
       cache.put(tok, n)
     }
     n.intValue
@@ -530,7 +717,18 @@ final class BpeTable(val merges: Vector[(String, String)],
       val e = Bpe.gpt2TokenEnd(text, i)
       val tok = text.substring(i, e)
       i = e
-      total += memoLen(tok, Bpe.toByteSymbols(tok), rk, cache)
+      // memo key is the RAW pretoken, checked BEFORE byte-encoding: a hit
+      // must skip the O(len) UTF-8 symbol mapping too, not just the merge
+      // loop — that's where the Zipf-repeat savings are
+      if (tok.length > 64) total += Bpe.encodeLen(Bpe.toByteSymbols(tok), rk)
+      else {
+        var n = cache.get(tok)
+        if (n == null) {
+          n = Integer.valueOf(Bpe.encodeLen(Bpe.toByteSymbols(tok), rk))
+          cache.put(tok, n)
+        }
+        total += n.intValue
+      }
     }
     total
   }
@@ -558,30 +756,143 @@ final class BpeTable(val merges: Vector[(String, String)],
           while (i < len && { val x = text.charAt(i); !isWs(x) && !isAl(x) && !isDg(x) }) i += 1
         }
         val tok = text.substring(start, i)
-        total += memoLen(tok, tok, rk, cache)
+        total += memoLen(tok, rk, cache)
       }
     }
     total
   }
 
+  // -------------------------------------------------------------------
+  // Token-ID emission (the trainer-consumable form)
+  // -------------------------------------------------------------------
+
+  /** Per-thread LRU memo of pretoken → id array (the ids twin of the
+    * count memo; separate so counting jobs never evict for encoding jobs
+    * and vice versa). Entries are ≤64-element int arrays; smaller cap
+    * than the count memo since each entry is ~30× an Integer. */
+  @transient private lazy val idsCacheLocal =
+    ThreadLocal.withInitial[java.util.LinkedHashMap[String, Array[Int]]](() =>
+      new java.util.LinkedHashMap[String, Array[Int]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Int]]): Boolean = size > 16384
+      })
+
+  private def computeIds(tok: String): Array[Int] = {
+    val syms = Bpe.encodeSyms(if (byteLevel) Bpe.toByteSymbols(tok) else tok, ranks)
+    val out = new Array[Int](syms.size)
+    var i = 0
+    while (i < syms.size) {
+      val id = idOf.get(syms.get(i))
+      out(i) =
+        if (id != null) id.intValue
+        else if (unkId >= 0) unkId
+        else throw new IllegalStateException(
+          s"no id for symbol '${syms.get(i)}' — vocabulary coverage broken")
+      i += 1
+    }
+    out
+  }
+
+  @inline private def pretokenIds(
+      tok: String, cache: java.util.LinkedHashMap[String, Array[Int]]): Array[Int] = {
+    if (tok.length > 64) return computeIds(tok) // same no-whole-doc-pinning rule
+    var a = cache.get(tok)
+    if (a == null) { a = computeIds(tok); cache.put(tok, a) }
+    a
+  }
+
+  /** Token-ID sequence for a text — what a trainer actually consumes
+    * (`size(encodeIds(t)) == countTokens(t)`, spec-pinned: same pretokens,
+    * same merge loop, ids are just the symbols mapped through [[vocab]]).
+    * Char-level drops whitespace like the count does; byte-level keeps
+    * every byte, so [[decodeIds]] round-trips the exact text. */
+  def encodeIds(text: String): Array[Int] = {
+    val cache = idsCacheLocal.get()
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(text.length / 4 + 4)
+    val len = text.length
+    if (byteLevel) {
+      var i = 0
+      while (i < len) {
+        val e = Bpe.gpt2TokenEnd(text, i)
+        out ++= pretokenIds(text.substring(i, e), cache)
+        i = e
+      }
+    } else {
+      import Bpe.{isAl, isDg, isWs}
+      var i = 0
+      while (i < len) {
+        val c = text.charAt(i)
+        if (isWs(c)) i += 1
+        else {
+          val start = i
+          if (isAl(c)) { i += 1; while (i < len && isAl(text.charAt(i))) i += 1 }
+          else if (isDg(c)) { i += 1; while (i < len && isDg(text.charAt(i))) i += 1 }
+          else {
+            i += 1
+            while (i < len && { val x = text.charAt(i); !isWs(x) && !isAl(x) && !isDg(x) }) i += 1
+          }
+          out ++= pretokenIds(text.substring(start, i), cache)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Inverse of [[encodeIds]]. Byte-level round-trips LOSSLESSLY
+    * (`decodeIds(encodeIds(t)) == t` — the byte symbols cover every
+    * input, whitespace included); char-level rebuilds the pretoken
+    * concatenation (whitespace was never tokenized; UNK decodes U+FFFD) —
+    * lossy by construction. Returns null for any id outside the
+    * vocabulary, or byte symbols that don't form valid UTF-8 framing
+    * (corrupt shard data is a data condition, not an exception). */
+  def decodeIds(ids: Array[Int]): String = {
+    val sa = symAt
+    val sb = new java.lang.StringBuilder(ids.length * 4)
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      if (id < 0 || id >= sa.length || sa(id) == null) return null
+      sb.append(sa(id))
+      i += 1
+    }
+    if (!byteLevel) sb.toString
+    else {
+      val n = sb.length()
+      val bytes = new Array[Byte](n)
+      var j = 0
+      while (j < n) {
+        val c = sb.charAt(j).toInt
+        val b = if (c < Bpe.ByteDec.length) Bpe.ByteDec(c) else -1
+        if (b < 0) return null
+        bytes(j) = b.toByte
+        j += 1
+      }
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
   override def equals(o: Any): Boolean = o match {
     case t: BpeTable =>
-      (t eq this) || (t.byteLevel == byteLevel && t.merges == merges)
+      (t eq this) || (t.byteLevel == byteLevel &&
+        t.explicitVocab == explicitVocab && t.merges == merges)
     case _ => false
   }
-  override val hashCode: Int = merges.hashCode * 31 + byteLevel.hashCode
+  override val hashCode: Int =
+    (merges.hashCode * 31 + byteLevel.hashCode) * 31 + explicitVocab.hashCode
   override def toString: String =
-    s"BpeTable(${merges.size} merges, ${if (byteLevel) "byte" else "char"}-level)"
+    s"BpeTable(${merges.size} merges, ${if (byteLevel) "byte" else "char"}-level" +
+      s"${if (explicitVocab.isDefined) ", vocab.json ids" else ""})"
 }
 
 object BpeTable {
-  /** Per-JVM canonical instance per (merge list, mode)
+  /** Per-JVM canonical instance per (merge list, mode, explicit vocab)
     * ([[BpeTable.readResolve]]): bounded by the number of DISTINCT
     * vocabularies in use (one or two in any real job), so no eviction. */
   private val interned = new java.util.concurrent.ConcurrentHashMap[
-    (Vector[(String, String)], Boolean), BpeTable]()
+    (Vector[(String, String)], Boolean, Option[Vector[(String, Int)]]), BpeTable]()
   def intern(t: BpeTable): BpeTable =
-    interned.computeIfAbsent((t.merges, t.byteLevel), _ => t)
+    interned.computeIfAbsent((t.merges, t.byteLevel, t.explicitVocab), _ => t)
 }
 
 /** text → real merge-table BPE token count, one tight per-row pass (the
@@ -599,5 +910,52 @@ case class BpeCountExpr(child: Expression, table: BpeTable) extends UnaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
   override protected def withNewChildInternal(c: Expression): BpeCountExpr =
+    copy(child = c)
+}
+
+/** text → BPE token-id sequence (`array<int>`), one tight per-row pass —
+  * the emission twin of [[BpeCountExpr]] (same pretokens, same merge
+  * loop; `size(result) == graft_bpe_count(text)` by construction). */
+case class BpeEncodeExpr(child: Expression, table: BpeTable) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def compute(input: Any): Any =
+    new GenericArrayData(table.encodeIds(input.toString))
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+    copy(child = c)
+}
+
+/** id sequence → text ([[BpeTable.decodeIds]]): the shard-reader /
+  * detokenizer side. Nullable beyond its child: out-of-vocabulary ids or
+  * null elements decode to null, never throw — corrupt shard data is a
+  * data condition. */
+case class BpeDecodeExpr(child: Expression, table: BpeTable) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      ids(i) = arr.getInt(i)
+      i += 1
+    }
+    val s = table.decodeIds(ids)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
+  override protected def withNewChildInternal(c: Expression): BpeDecodeExpr =
     copy(child = c)
 }

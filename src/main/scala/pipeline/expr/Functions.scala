@@ -59,23 +59,32 @@ object Functions {
     // driver at analysis time (the parsed table ships in the plan); pass
     // '' to keep the embedded fixture. Optional 3rd arg: pretokenizer
     // mode 'char' (default) | 'byte' (GPT-2 byte-level — the mode for a
-    // verbatim upstream vocabulary; see pipeline.expr.Bpe).
+    // verbatim upstream vocabulary; see pipeline.expr.Bpe). Optional 4th
+    // arg (encode/decode): a GPT-2 vocab.json path so ids match the
+    // upstream assignment; '' keeps rank-derived ids.
+    def bpeTable(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): BpeTable = {
+      val byteLevel = es.size > 2 && (strLit(es(2), "pretokenizer") match {
+        case "byte" => true
+        case "char" => false
+        case other => throw new IllegalArgumentException(
+          s"pretokenizer must be 'byte' or 'char', got '$other'")
+      })
+      val path = if (es.size > 1) strLit(es(1), "mergesPath") else ""
+      val vocabPath = if (es.size > 3) strLit(es(3), "vocabPath") else ""
+      if (path.nonEmpty) Bpe.loadCached(path, byteLevel, vocabPath)
+      else if (vocabPath.nonEmpty) throw new IllegalArgumentException(
+        "vocabPath requires a mergesPath (the fixture tables use derived ids)")
+      else if (byteLevel) Bpe.FixtureByteLevel
+      else Bpe.Fixture
+    }
     reg.createOrReplaceTempFunction("graft_bpe_count",
-      es => {
-        val byteLevel = es.size > 2 && (strLit(es(2), "pretokenizer") match {
-          case "byte" => true
-          case "char" => false
-          case other => throw new IllegalArgumentException(
-            s"pretokenizer must be 'byte' or 'char', got '$other'")
-        })
-        val path = if (es.size > 1) strLit(es(1), "mergesPath") else ""
-        val table =
-          if (path.nonEmpty) Bpe.loadCached(path, byteLevel)
-          else if (byteLevel) Bpe.FixtureByteLevel
-          else Bpe.Fixture
-        BpeCountExpr(Cast(es.head, StringType), table)
-      },
-      "built-in")
+      es => BpeCountExpr(Cast(es.head, StringType), bpeTable(es)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_encode",
+      es => BpeEncodeExpr(Cast(es.head, StringType), bpeTable(es)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_decode",
+      es => BpeDecodeExpr(
+        Cast(es.head, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)), bpeTable(es)), "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
       es => LangIdExpr(Cast(es.head, StringType)), "built-in")
   }

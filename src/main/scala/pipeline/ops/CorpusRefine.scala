@@ -359,13 +359,15 @@ object CorpusRefine {
    */
   def packTokenShards(df: DataFrame, idCol: String, tokenCol: String,
                       budget: Long, buckets: Int = 256,
-                      equalize: Boolean = false): DataFrame = {
+                      equalize: Boolean = false,
+                      carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && buckets > 0, s"bad budget=$budget buckets=$buckets")
     val mm = df.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi"),
       count(lit(1)).as("n_rows"), count(col(idCol)).as("n_ids")).head()
     if (mm.isNullAt(0) && mm.getLong(2) == 0) // empty input: shape-stable empty result
-      return df.select(col(idCol), col(tokenCol), lit(0L).as("shard")).limit(0)
+      return df.select((Seq(idCol, tokenCol) ++ carryCols).map(col) :+
+        lit(0L).as("shard"): _*).limit(0)
     // null ids would vanish silently: min/max ignore them, their bucket is
     // null, and the inner offsets join drops them — reject up front (same
     // config-shaped contract as the id-span check below). Rides the one
@@ -420,7 +422,45 @@ object CorpusRefine {
       // integer div, like the bucketing above: a cumulative token count
       // past 2^53 would round through a double and misassign boundary docs
       .withColumn("shard", expr(s"_cum_excl div ${budget}L"))
-      .select(col(idCol), col(tokenCol), col("shard"))
+      // carryCols ride the same rows through bucket/window/join — payload
+      // columns (e.g. token-id arrays) reach the shard writer without a
+      // second data-sized join back onto the packed frame
+      .select((Seq(idCol, tokenCol) ++ carryCols).map(col) :+ col("shard"): _*)
+  }
+
+  /**
+   * Token-ID training shards: the last link of the corpus → training-data
+   * story. Encodes each document to its BPE id sequence
+   * ([[pipeline.expr.Bpe.bpeEncode]] — byte-level for a verbatim GPT-2
+   * vocabulary), budgets shards on the REAL id count (`size(ids)`, not the
+   * whitespace estimate), and assigns shard numbers via the
+   * [[packTokenShards]] distributed prefix sum with the id arrays riding
+   * as a carry column. Result: `(idCol, n_tokens, ids, shard)` — one
+   * narrow encode pass + the pack's single data-sized window, no extra
+   * shuffle for the payload.
+   */
+  def emitTokenShards(docs: DataFrame, idCol: String, textCol: String,
+                      table: pipeline.expr.BpeTable, budget: Long,
+                      buckets: Int = 256, equalize: Boolean = false): DataFrame = {
+    val enc = docs.select(col(idCol),
+      pipeline.expr.Bpe.bpeEncode(col(textCol), table).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+    packTokenShards(enc, idCol, "n_tokens", budget, buckets, equalize,
+      carryCols = Seq("ids"))
+  }
+
+  /** [[emitTokenShards]] + a partitioned parquet write: one directory per
+    * shard (`shard=K/`), rows `(idCol, n_tokens, ids)` — the layout a
+    * trainer's data loader scans shard-by-shard, and the same
+    * file-sizing/`partitionBy` path every other sink in the library uses.
+    * Returns the emitted frame (pre-write plan) for count reconciliation. */
+  def writeTokenShards(docs: DataFrame, idCol: String, textCol: String,
+                       table: pipeline.expr.BpeTable, budget: Long,
+                       outDir: String, buckets: Int = 256,
+                       equalize: Boolean = false): DataFrame = {
+    val shards = emitTokenShards(docs, idCol, textCol, table, budget, buckets, equalize)
+    shards.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    shards
   }
 
   /**

@@ -18,7 +18,8 @@ class BpeSpec extends AnyFunSuite {
     * apply the first merge with an occurrence (leftmost), restart from
     * rank 0 — the textbook "lowest-ranked applicable merge first"
     * definition via different code than Bpe.encodeLen's best-pair scan. */
-  private def refEncodeLen(token: String, merges: Vector[(String, String)]): Int = {
+  private def refEncodeSyms(token: String,
+                            merges: Vector[(String, String)]): Vector[String] = {
     var syms = token.map(_.toString).toVector
     var applied = true
     while (applied && syms.length > 1) {
@@ -36,8 +37,11 @@ class BpeSpec extends AnyFunSuite {
         }
       }
     }
-    syms.length
+    syms
   }
+
+  private def refEncodeLen(token: String, merges: Vector[(String, String)]): Int =
+    refEncodeSyms(token, merges).length
 
   test("learn: hand-computed merges on a tiny corpus, deterministic ties") {
     // words: ab x3, abc x1 → (a,b)=4, (b,c)=1; only (a,b) reaches the
@@ -206,9 +210,13 @@ class BpeSpec extends AnyFunSuite {
 
   /** The published GPT-2 pretokenizer pattern compiled the way the
     * upstream (Unicode-aware) regex engine reads it — the independent
-    * oracle for the hand-rolled scanner in Bpe.gpt2TokenEnd. */
+    * oracle for the hand-rolled scanner in Bpe.gpt2TokenEnd. Python's
+    * `regex` \s (str.isspace semantics) also matches the information
+    * separators U+001C–001F, which Java's \s excludes even under
+    * UNICODE_CHARACTER_CLASS — so the class is spelled out explicitly
+    * everywhere the upstream pattern says \s. */
   private val Gpt2Re = java.util.regex.Pattern.compile(
-    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\x1C-\x1F\p{L}\p{N}]+|[\s\x1C-\x1F]+(?![^\s\x1C-\x1F])|[\s\x1C-\x1F]+""",
     java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   private def reTokens(s: String): Vector[String] = {
@@ -246,6 +254,11 @@ class BpeSpec extends AnyFunSuite {
       "'quoted' ''s", " 's", "a'll", "I'LL", "'", "a'", "'x",
       "", " ", "\n", "  ", "\n\n", " \n", "\n ", "mix3d4lph4num3ric",
       "http://a.example/path?q=1&r=2", "a b", "end\t", "\n\nstart",
+      // U+001C–001F: whitespace under Python's \s (str.isspace), NOT under
+      // Java's — the scanner follows Python (ADVICE r5); built via toChar
+      // so no raw control bytes land in this source file
+      "a" + 0x1C.toChar + "b", 0x1D.toChar.toString + 0x1E.toChar + "x",
+      "fs" + 0x1C.toChar + 0x1C.toChar + 0x1C.toChar + "gs", 0x1F.toChar.toString,
       Bpe.TrainingCorpus.take(300))
     texts.foreach { s =>
       assert(Bpe.gpt2Pretokens(s).toVector == reTokens(s),
@@ -356,5 +369,178 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("pretokenizer") ||
       Option(bad.getCause).exists(_.getMessage.contains("pretokenizer")))
+  }
+
+  // -------------------------------------------------------------------
+  // Token-ID emission
+  // -------------------------------------------------------------------
+
+  private val idAdversarial = Seq(
+    "the quick brown fox", "don't we're it's", "  indent\n\ncode",
+    "東京タワー123ビル", "über straße", "😀!", " 's", "a  b   c",
+    "", " ", "\n\n", "price: $1,234.56 (-7%)", "mix3d4lph4num3ric",
+    "a" + 0x1C.toChar + "b", "  spaced   out  ",
+    Bpe.TrainingCorpus.take(200))
+
+  test("encodeIds: byte-level == independent applier ids; size == count; lossless round-trip") {
+    val tbl = Bpe.FixtureByteLevel
+    val vmap = tbl.vocab.toMap
+    idAdversarial.foreach { s =>
+      val ids = tbl.encodeIds(s)
+      // the independent rank-order applier's symbol sequence, mapped
+      // through the vocabulary — must match id for id, in order
+      val ref = reTokens(s).flatMap(t =>
+        refEncodeSyms(Bpe.toByteSymbols(t), tbl.merges)).map(vmap)
+      assert(ids.toVector == ref, s"id mismatch on '${s.take(40)}'")
+      assert(ids.length == tbl.countTokens(s),
+        s"size(ids) != countTokens on '${s.take(40)}'")
+      // byte-level decode∘encode is the identity — whitespace included
+      assert(tbl.decodeIds(ids) == s, s"round-trip broke on '${s.take(40)}'")
+    }
+  }
+
+  test("encodeIds: char-level size parity; UNK for out-of-alphabet chars; lossy decode") {
+    val tbl = Bpe.Fixture
+    idAdversarial.foreach { s =>
+      val ids = tbl.encodeIds(s)
+      assert(ids.length == tbl.countTokens(s), s"char-level size on '${s.take(40)}'")
+      assert(ids.forall(i => i >= 0 && i < tbl.vocabSize))
+    }
+    // CJK chars are outside the derived training alphabet → UNK, which
+    // decodes to U+FFFD; ASCII pretokens decode exactly (whitespace is
+    // dropped — char level never tokenized it)
+    val ids = tbl.encodeIds("the 東京 cat")
+    assert(ids.contains(tbl.unkId))
+    assert(tbl.decodeIds(ids) == "the" + "��" + "cat")
+    // decode rejects corrupt ids with null, never throws
+    assert(tbl.decodeIds(Array(-1)) == null)
+    assert(tbl.decodeIds(Array(Int.MaxValue)) == null)
+    assert(Bpe.FixtureByteLevel.decodeIds(Array(999999)) == null)
+  }
+
+  test("derived vocab: byte-level bases are ids 0..255, products follow ranks; no unk") {
+    val tbl = Bpe.FixtureByteLevel
+    val v = tbl.vocab
+    // base ids: byte order through ByteEnc
+    (0 until 256).foreach { b =>
+      assert(v(b) == (String.valueOf(Bpe.ByteEnc(b)), b))
+    }
+    // products take the next ids in rank order
+    assert(v(256)._1 == tbl.merges.head._1 + tbl.merges.head._2)
+    assert(tbl.unkId == -1)
+    assert(tbl.vocabSize == v.size)
+    assert(v.map(_._2) == v.indices.toVector) // dense
+    // char-level: sorted char alphabet + products + one UNK slot
+    val ct = Bpe.Fixture
+    val baseChars = ct.vocab.takeWhile(_._1.length == 1).map(_._1)
+    assert(baseChars == baseChars.sorted)
+    assert(ct.unkId == ct.vocab.size && ct.vocabSize == ct.vocab.size + 1)
+  }
+
+  test("vocab.json: parse/render round-trip; validation failures") {
+    val v = Vector(("Ġ", 0), ("a", 1), ("# #", 2), ("\"q\\u", 3))
+    assert(Bpe.parseVocab(Bpe.renderVocab(v)) == v)
+    // GPT-2-shaped json with unicode escapes and weird keys
+    assert(Bpe.parseVocab("""{"Ġthe": 262, "Ġof": 286}""") ==
+      Vector(("Ġthe", 262), ("Ġof", 286)))
+    intercept[IllegalArgumentException] { Bpe.parseVocab("""[1,2]""") }
+    intercept[IllegalArgumentException] { Bpe.parseVocab("""{"a": 1.5}""") }
+    intercept[IllegalArgumentException] { Bpe.parseVocab("""{"a": -2}""") }
+    intercept[IllegalArgumentException] { Bpe.parseVocab("""{"a": "x"}""") }
+    intercept[IllegalArgumentException] { Bpe.parseVocab("""{"a": 1, "a": 2}""") }
+    intercept[IllegalArgumentException] { Bpe.parseVocab("""{"a": 1, "b": 1}""") }
+  }
+
+  test("load with vocab.json: upstream ids win over derived; coverage validated") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-vocab")
+    val mpath = dir.resolve("merges.txt")
+    java.nio.file.Files.writeString(mpath,
+      Bpe.renderMerges(Bpe.FixtureByteLevel.merges))
+    // a permuted id assignment (reverse order) — a VERBATIM upstream
+    // vocabulary whose ids differ from rank derivation must be honored
+    val derived = Bpe.FixtureByteLevel.vocab
+    val maxId = derived.map(_._2).max
+    val permuted = derived.map { case (t, i) => (t, maxId - i) }
+    val vpath = dir.resolve("vocab.json")
+    java.nio.file.Files.writeString(vpath, Bpe.renderVocab(permuted))
+    val tbl = Bpe.load(mpath.toString, byteLevel = true, vpath.toString)
+    assert(tbl.explicitVocab.contains(permuted))
+    assert(tbl != Bpe.FixtureByteLevel) // vocab participates in identity
+    val s = "the quick fox"
+    val viaDerived = Bpe.FixtureByteLevel.encodeIds(s)
+    assert(tbl.encodeIds(s).toVector == viaDerived.toVector.map(maxId - _))
+    assert(tbl.decodeIds(tbl.encodeIds(s)) == s) // still lossless
+    assert(tbl.countTokens(s) == Bpe.FixtureByteLevel.countTokens(s))
+    // coverage validation: a vocab missing a base byte symbol fails fast
+    val holey = dir.resolve("holey.json")
+    java.nio.file.Files.writeString(holey,
+      Bpe.renderVocab(permuted.filterNot(_._1 == "Ġ")))
+    val err = intercept[IllegalArgumentException] {
+      Bpe.load(mpath.toString, byteLevel = true, holey.toString)
+    }
+    assert(err.getMessage.contains("base byte symbol"))
+    // missing merge product fails too
+    val noProd = dir.resolve("noprod.json")
+    val firstProd = Bpe.FixtureByteLevel.merges.head match { case (l, r) => l + r }
+    java.nio.file.Files.writeString(noProd,
+      Bpe.renderVocab(permuted.filterNot(_._1 == firstProd)))
+    intercept[IllegalArgumentException] {
+      Bpe.load(mpath.toString, byteLevel = true, noProd.toString)
+    }
+    // char-level + vocab.json refused (GPT-2 ids are byte-level)
+    intercept[IllegalArgumentException] {
+      Bpe.load(mpath.toString, byteLevel = false, vpath.toString)
+    }
+    // loadCached keys on (path, mode, vocabPath)
+    assert(Bpe.loadCached(mpath.toString, byteLevel = true, vpath.toString) eq
+      Bpe.loadCached(mpath.toString, byteLevel = true, vpath.toString))
+    assert(!(Bpe.loadCached(mpath.toString, byteLevel = true) eq
+      Bpe.loadCached(mpath.toString, byteLevel = true, vpath.toString)))
+  }
+
+  test("encodeIds: degenerate 100k-space run stays tractable and round-trips") {
+    val runTbl = pipeline.expr.BpeTable.intern(new pipeline.expr.BpeTable(
+      Vector(("Ġ", "Ġ"), ("ĠĠ", "ĠĠ")), byteLevel = true))
+    val padded = " " * 100000
+    val ids = runTbl.encodeIds(padded)
+    assert(ids.length == 25000 && ids.length == runTbl.countTokens(padded))
+    assert(runTbl.decodeIds(ids) == padded)
+  }
+
+  test("Spark expression + SQL surface: encode/decode parity, vocabPath arg") {
+    val s = sc
+    import s.implicits._
+    val tbl = Bpe.FixtureByteLevel
+    val texts = Seq((1L, "the quick brown fox"), (2L, "a  b\n\nc"),
+      (3L, null.asInstanceOf[String]))
+    val d = texts.toDF("id", "text")
+    val out = d.select(col("id"),
+      Bpe.bpeEncode(col("text"), tbl).as("ids"),
+      Bpe.bpeDecode(Bpe.bpeEncode(col("text"), tbl), tbl).as("rt"))
+      .collect().map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) null else r.getSeq[Int](1).toVector,
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    texts.foreach { case (id, t) =>
+      if (t == null) assert(out(id) == ((null, null)))
+      else assert(out(id) == ((tbl.encodeIds(t).toVector, t)), s"row $id")
+    }
+    // SQL: graft_bpe_encode / graft_bpe_decode with mode + vocabPath args
+    pipeline.expr.Functions.registerAll(s)
+    d.createOrReplaceTempView("bpe_ids_t")
+    val viaSql = s.sql(
+      "SELECT id, graft_bpe_decode(graft_bpe_encode(text, '', 'byte'), '', 'byte') AS rt " +
+        "FROM bpe_ids_t")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    texts.foreach { case (id, t) => assert(viaSql(id) == t) }
+    // vocabPath without mergesPath is refused (fixtures use derived ids)
+    val bad = intercept[Exception] {
+      s.sql("SELECT graft_bpe_encode(text, '', 'byte', '/tmp/v.json') FROM bpe_ids_t").collect()
+    }
+    assert(bad.getMessage.contains("vocabPath") ||
+      Option(bad.getCause).exists(_.getMessage.contains("vocabPath")))
+    // corrupt ids decode to null, not an exception
+    val nullRt = s.sql("SELECT graft_bpe_decode(array(999999), '', 'byte') AS x")
+      .collect().head
+    assert(nullRt.isNullAt(0))
   }
 }

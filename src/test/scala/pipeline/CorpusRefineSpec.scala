@@ -306,6 +306,54 @@ class CorpusRefineSpec extends AnyFunSuite {
       equalize = true)).toSeq == plain.toSeq)
   }
 
+  test("emit/writeTokenShards: real-id budgets, partitioned layout, lossless read-back") {
+    val s = sc
+    import s.implicits._
+    import pipeline.expr.Bpe
+    val tbl = Bpe.FixtureByteLevel
+    val docs = (1L to 60L).map(i =>
+      (i, s"doc $i " + "the quick brown fox jumps over the lazy dog " * (i % 7 + 1).toInt))
+      .toDF("doc_id", "text")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("tokshards").toString
+    val emitted = CorpusRefine.writeTokenShards(docs, "doc_id", "text", tbl,
+      budget = 120L, outDir = dir, buckets = 4)
+    val rows = emitted.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toVector, r.getLong(3)))
+      .sortBy(_._1)
+    // budgets run on the REAL id count: n_tokens == size(ids) ==
+    // countTokens(text), per the driver-side table
+    rows.foreach { case (id, n, ids, _) =>
+      assert(n == ids.size && n == tbl.countTokens(texts(id)), s"doc $id")
+      assert(ids == tbl.encodeIds(texts(id)).toVector, s"doc $id ids")
+    }
+    // shard == exclusive-prefix-sum div budget (driver-side recompute)
+    var cum = 0L
+    rows.foreach { case (id, n, _, shard) =>
+      assert(shard == cum / 120L, s"doc $id: shard $shard at cum $cum")
+      cum += n
+    }
+    // the written layout is one directory per shard with decodable rows
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(shardDirs.nonEmpty &&
+      shardDirs.toSet == rows.map(r => s"shard=${r._4}").toSet)
+    val back = s.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        Bpe.bpeDecode(col("ids"), tbl).as("decoded"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(back.length == 60)
+    back.foreach { case (id, shard, decoded) =>
+      assert(decoded == texts(id), s"read-back decode broke for doc $id")
+      assert(shard == rows.find(_._1 == id).get._4)
+    }
+    // equalize flips parallelism only — shard output bit-identical
+    val eq = CorpusRefine.emitTokenShards(docs, "doc_id", "text", tbl,
+      budget = 120L, buckets = 4, equalize = true)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    rows.foreach { case (id, _, _, shard) => assert(eq(id) == shard) }
+  }
+
   test("decontaminate: shared-shingle threshold, benchmark broadcast, apply") {
     val s = sc
     import s.implicits._
