@@ -213,12 +213,13 @@ object TransformCompiler {
         // MinHash+LSH candidate pairs → connected components (transitive
         // closure) → drop every non-representative member. Keeper = the
         // component's minimum hash id — deterministic across reruns (the
-        // dedup_exact contract), hash-canonical rather than min-url (the
-        // closure is computed over numeric node ids; a 64-bit id collision
-        // conflating two docs is ~N²/2⁶⁵ — negligible against MinHash's
-        // own false-positive band collisions).
+        // dedup_exact contract), hash-canonical rather than min-url. Node
+        // ids are 128-bit (Dedup.nid128, struct of two seeded xxhash64
+        // halves): at the 10¹²-doc target a 64-bit id expects ~N²/2⁶⁵ ≈
+        // 27k birthday collisions — each a silently wrongly-dropped doc —
+        // where 128 bits expect ~10⁻¹⁵ (the r5 VERDICT item).
         //
-        // NOTE exact duplicates: node id = xxhash64 of the full row, so
+        // NOTE exact duplicates: node id = a hash of the full row, so
         // FULLY identical rows collapse to ONE graph node and are kept or
         // dropped together — dedup_near alone does not thin exact copies.
         // Chain `dedup_exact` BEFORE `dedup_near` (the order the flagship
@@ -239,7 +240,7 @@ object TransformCompiler {
           // join keys match nothing → kept) — the never-vanish guarantee
           val participates = !bypass(df) && col("text").isNotNull
           val withId = df.withColumn("_nid",
-            when(participates, xxhash64(col("url"),
+            when(participates, pipeline.ops.Dedup.nid128(col("url"),
               col("warc_ts").cast("string"), col("source"), col("text"))))
           val sigSrc = withId.filter(col("_nid").isNotNull)
           // NOTE eager: connectedComponents iterates with driver-side
@@ -285,8 +286,10 @@ object TransformCompiler {
             err(s"benchmark table has no column '$benchCol' " +
               s"(columns: ${bench.columns.mkString(", ")})")
           val participates = !bypass(df) && col("text").isNotNull
+          // 128-bit id for the same reason as dedup_near: a 64-bit
+          // conflation here would drop an unrelated doc as "contaminated"
           val withId = df.withColumn("_nid",
-            when(participates, xxhash64(col("url"),
+            when(participates, pipeline.ops.Dedup.nid128(col("url"),
               col("warc_ts").cast("string"), col("source"), col("text"))))
           val contaminated = pipeline.ops.CorpusRefine.decontaminate(
             withId.filter(col("_nid").isNotNull),

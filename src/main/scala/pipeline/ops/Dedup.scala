@@ -19,6 +19,28 @@ import Portable._
  */
 object Dedup {
 
+  /**
+   * 128-bit node identity: two independently-seeded xxhash64 halves as a
+   * `struct<h1,h2>` — the id the near-dup graph (config `dedup_near` /
+   * `decontaminate`, streaming NearDedup) keys nodes by. 64 bits are NOT
+   * enough at the design scale: by the birthday bound a 10¹²-doc corpus
+   * expects ~(10¹²)²/2⁶⁵ ≈ 27,000 silent id collisions, each one an
+   * unrelated document conflated with another and wrongly dropped as its
+   * "duplicate"; at 128 bits the same bound is ~10²⁴/2¹²⁹ ≈ 1.5·10⁻¹⁵ —
+   * never. Struct ids flow through every consumer unchanged (joins,
+   * `<`, min/least, distinct are all struct-orderable in Spark), and
+   * orderings stay deterministic (lexicographic on (h1, h2)). State and
+   * shuffle cost per id: 16 bytes instead of 8 — bounded, and cheap next
+   * to the signatures riding beside it.
+   */
+  def nid128(cols: Column*): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    val es = cols.map(expression)
+    struct(column(XxHash64(es, 42L)).as("h1"),
+      column(XxHash64(es, 7919L)).as("h2"))
+  }
+
   /** Exact dedup: groups by md5(text). Returns one row per distinct text:
     * (keep = min id, n_dups). Shuffles 8-byte ids + 32-byte digests only.
     * NULL-text rows are excluded — md5(null) is null, and grouping them

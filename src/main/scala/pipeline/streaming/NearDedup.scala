@@ -13,15 +13,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *
  * Single-pass form: each document claims its MinHash LSH band keys
  * (IDENTICAL band derivation to Dedup.minhashLsh — md5 of each
- * signature slice — so the collision structure is bit-for-bit the batch
- * one); a band key's FIRST claimant (event-time order within a
- * micro-batch, state across micro-batches) owns it, and a document is
- * KEPT iff it owns every band it claims — i.e. dropped iff ANY of its
- * bands was already claimed by a different document, exactly the
- * pairwise edge rule that feeds the batch closure. State is one entry
- * per distinct band key inside the watermark horizon (a 64-bit owner id
- * keyed by a 32-hex-char band key — never text), expired by event-time
- * timeout.
+ * signature slice — and state is keyed on (band, bkey), the batch
+ * join's exact key pair, so the collision structure is bit-for-bit the
+ * batch one — a cross-band md5 coincidence cannot conflate ownership);
+ * a band key's FIRST claimant (event-time order within a micro-batch,
+ * state across micro-batches) owns it, and a document is KEPT iff it
+ * owns every band it claims — i.e. dropped iff ANY of its bands was
+ * already claimed by a different document, exactly the pairwise edge
+ * rule that feeds the batch closure. State is one entry per distinct
+ * (band, key) inside the watermark horizon (a 128-bit owner id — the
+ * batch Dedup.nid128 identity, two longs, so the 10¹²-doc birthday
+ * math matches batch; never text), expired by event-time timeout.
  *
  * What the approximation MISSES vs the batch chain (documented, pinned
  * in StreamingSpec):
@@ -50,7 +52,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * text, < nGram words → null sig, or null event time) BYPASS: they are
  * emitted with ok=true, band=-1 and never enter the band state (the
  * never-vanish guarantee). Identical rows (same url/warc_ts/source/text
- * → same 64-bit node id) are kept or dropped TOGETHER, as in batch.
+ * → same 128-bit node id) are kept or dropped TOGETHER, as in batch —
+ * and each copy keeps ITS OWN lang through [[finalize]] (lang is not
+ * part of the node id; batch left_anti preserves per-row lang, so the
+ * re-emit here must too).
  *
  * Cost note vs batch: the batch form shuffles bare ids+signatures; here
  * the band explode carries the doc payload once (text rides only the
@@ -67,20 +72,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object NearDedup {
 
-  /** One exploded band claim; text rides only band 0. */
-  final case class BandRow(nid: Long, band: Int, bkey: String,
+  /** One exploded band claim; text rides only band 0. The node id is the
+    * batch 128-bit identity ([[pipeline.ops.Dedup.nid128]]) split into
+    * its two long halves. */
+  final case class BandRow(nid1: Long, nid2: Long, band: Int, bkey: String,
                            url: String, warc_ts: java.sql.Timestamp,
                            text: String, lang: String, source: String)
 
-  /** Band-key state: the owning node id plus the NEWEST claim time seen —
-    * the timeout must never move backward (a late-but-valid claim with an
-    * older event time would otherwise SHORTEN the dedup horizon for
-    * everyone sharing the band). */
-  final case class BandState(firstNid: Long, maxSeenMs: Long)
+  /** Band-key state: the owning 128-bit node id plus the NEWEST claim
+    * time seen — the timeout must never move backward (a late-but-valid
+    * claim with an older event time would otherwise SHORTEN the dedup
+    * horizon for everyone sharing the band). 24 bytes/entry (was 16 with
+    * a 64-bit owner — the collision-safety cost, still bounded by the
+    * horizon's distinct band keys). */
+  final case class BandState(firstNid1: Long, firstNid2: Long, maxSeenMs: Long)
 
   /** Per-band verdict: ok = this doc owns the band. band = -1 marks a
     * bypass row (no signature / no event time), always ok. */
-  final case class Verdict(nid: Long, band: Int, ok: Boolean,
+  final case class Verdict(nid1: Long, nid2: Long, band: Int, ok: Boolean,
                            url: String, warc_ts: java.sql.Timestamp,
                            text: String, lang: String, source: String)
 
@@ -112,10 +121,10 @@ object NearDedup {
       size(split(trim(col("text")), "\\s+")) >= nGram
     val base = src
       .select(col("url"), col("warc_ts"), col("text"), col("lang"), col("source"))
-      // node id: the batch dedup_near key (TransformCompiler) — identical
-      // rows share one id and one fate
-      .withColumn("_nid", xxhash64(col("url"), col("warc_ts").cast("string"),
-        col("source"), col("text")))
+      // node id: the batch dedup_near key (Dedup.nid128 — identical rows
+      // share one id and one fate; 128-bit for the same birthday math)
+      .withColumn("_nid", pipeline.ops.Dedup.nid128(col("url"),
+        col("warc_ts").cast("string"), col("source"), col("text")))
       .withWatermark("warc_ts", s"$delayMs milliseconds")
     val sig = pipeline.expr.PortableExprs.minhashSig(col("text"), nGram, numHashes)
     val banded = base.filter(canSig)
@@ -124,21 +133,25 @@ object NearDedup {
         // the EXACT batch band keys — the shared derivation, not a copy
         posexplode(pipeline.ops.Dedup.bandKeys(sig, bands, rowsPerBand))
           .as(Seq("band", "bkey")))
-      .select(col("_nid").as("nid"), col("band"), col("bkey"),
+      .select(col("_nid.h1").as("nid1"), col("_nid.h2").as("nid2"),
+        col("band"), col("bkey"),
         col("url"), col("warc_ts"),
         when(col("band") === 0, col("text")).as("text"),
         col("lang"), col("source"))
       .as[BandRow]
     val judged = banded
-      .groupByKey(r => r.bkey)
+      // state key = (band, bkey) — the batch join's key PAIR: bkey alone
+      // would let a cross-band md5 coincidence conflate ownership across
+      // bands, an edge the batch equijoin cannot produce
+      .groupByKey(r => (r.band, r.bkey))
       .flatMapGroupsWithState[BandState, Verdict](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: String, rows: Iterator[BandRow], state: GroupState[BandState]) =>
+        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[BandState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // deterministic intra-batch order: event time, then node id —
             // the first row claims a previously unowned band
-            val rs = rows.toVector.sortBy(r => (r.warc_ts.getTime, r.nid))
+            val rs = rows.toVector.sortBy(r => (r.warc_ts.getTime, r.nid1, r.nid2))
             // stale state counts as expired even on the DATA path: the
             // event-time timeout only sweeps groups with NO input in the
             // sweeping batch, so without this check the horizon would
@@ -148,17 +161,18 @@ object NearDedup {
             // horizon-expiry test)
             val wm = state.getCurrentWatermarkMs()
             val prev = state.getOption.filter(st => wm <= st.maxSeenMs + delayMs)
-            val winner = prev.map(_.firstNid).getOrElse(rs.head.nid)
+            val (w1, w2) = prev.map(st => (st.firstNid1, st.firstNid2))
+              .getOrElse((rs.head.nid1, rs.head.nid2))
             // monotone horizon: fold the batch max into the stored max so
             // a late-but-valid claim (older ts admitted above the
             // watermark) can never pull the expiry EARLIER
             var maxTs = prev.map(_.maxSeenMs).getOrElse(0L)
             val out = rs.map { r =>
               maxTs = math.max(maxTs, r.warc_ts.getTime)
-              Verdict(r.nid, r.band, r.nid == winner,
+              Verdict(r.nid1, r.nid2, r.band, r.nid1 == w1 && r.nid2 == w2,
                 r.url, r.warc_ts, r.text, r.lang, r.source)
             }
-            state.update(BandState(winner, maxTs))
+            state.update(BandState(w1, w2, maxTs))
             // expire once the watermark passes the horizon behind the
             // newest claim (must stay strictly ahead of the watermark)
             state.setTimeoutTimestamp(
@@ -167,7 +181,8 @@ object NearDedup {
           }
       }
     val bypass = base.filter(!canSig)
-      .select(col("_nid").as("nid"), lit(-1).as("band"), lit(true).as("ok"),
+      .select(col("_nid.h1").as("nid1"), col("_nid.h2").as("nid2"),
+        lit(-1).as("band"), lit(true).as("ok"),
         col("url"), col("warc_ts"), col("text"), col("lang"), col("source"))
       .as[Verdict]
     judged.unionByName(bypass)
@@ -181,20 +196,25 @@ object NearDedup {
    */
   def finalize(verdicts: DataFrame): DataFrame = {
     val real = verdicts.filter(col("band") >= 0)
-      .groupBy(col("nid"))
+      .groupBy(col("nid1"), col("nid2"))
       .agg(min(when(col("ok"), lit(1)).otherwise(lit(0))).as("_all"),
         first(col("url")).as("url"),
         first(col("warc_ts")).as("warc_ts"),
         first(col("text"), ignoreNulls = true).as("text"),
-        first(col("lang")).as("lang"),
         first(col("source")).as("source"),
-        // identical rows share a nid; re-emit each copy (band-0 rows carry
-        // the text, one per input copy) — the batch never-collapse rule
-        sum(when(col("band") === 0, lit(1)).otherwise(lit(0))).as("_copies"))
+        // identical rows share a nid; re-emit ONE row per input copy
+        // (band-0 rows carry the text, one per copy), each with ITS OWN
+        // lang — lang is outside the node id, so copies may differ in it
+        // and the batch left_anti preserves each row's value; a
+        // first(lang) here would stamp one copy's lang onto all
+        // (collect_list skips the nulls of non-band-0 rows; the struct
+        // wrapper keeps a genuinely-null lang inside a kept element)
+        collect_list(when(col("band") === 0, struct(col("lang")))).as("_copies"))
       .filter(col("_all") === 1)
-      .select(col("url"), col("warc_ts"), col("text"), col("lang"), col("source"),
-        explode(array_repeat(lit(1), col("_copies").cast("int"))).as("_one"))
-      .drop("_one")
+      .select(col("url"), col("warc_ts"), col("text"), col("source"),
+        explode(col("_copies")).as("_c"))
+      .select(col("url"), col("warc_ts"), col("text"),
+        col("_c.lang").as("lang"), col("source"))
     verdicts.filter(col("band") < 0)
       .select("url", "warc_ts", "text", "lang", "source")
       .unionByName(real)

@@ -603,6 +603,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(textMultiset(batchKept) == textMultiset(kept))
   }
 
+  test("near-dup finalize: identical copies keep their OWN lang (no first() stamp)") {
+    val s = sc
+    import s.implicits._
+    // lang is OUTSIDE the node id: rows identical in (url, warc_ts,
+    // source, text) share one nid and one fate, but each re-emitted copy
+    // must carry its own lang — batch left_anti preserves per-row lang,
+    // so a first(lang) collapse in finalize would diverge (ADVICE r5)
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = Seq(
+      ("u/x", ts(1), t, "en", "src"),
+      ("u/x", ts(1), t, "de", "src"),
+      ("u/x", ts(1), t, null.asInstanceOf[String], "src"))
+    val landing = Files.createTempDirectory("graft-nd-lang").toString
+    rows.toDF("url", "warc_ts", "text", "lang", "source").coalesce(1)
+      .write.mode("append").parquet(landing)
+    val kept = runNearDedup(landing, delayMs = 86400000L,
+      nGram = 3, bands = 2, rowsPerBand = 4)
+    def langsOf(df: org.apache.spark.sql.DataFrame) = df.select("lang")
+      .collect().map(r => Option(r.getString(0))).toSeq.sortBy(_.getOrElse(""))
+    assert(kept.count() == 3)
+    assert(langsOf(kept) == Seq(None, Some("de"), Some("en")))
+    // batch twin: identical per-row lang multiset
+    val batch = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("dedup_near", Map(
+        "nGram" -> "3", "bands" -> "2", "rowsPerBand" -> "4")))(
+      s.read.parquet(landing))
+    assert(langsOf(batch) == langsOf(kept))
+  }
+
   test("near-dup daemon: dedup→parse→route→write counts == batch dedup_near chain") {
     val s = sc
     import s.implicits._
