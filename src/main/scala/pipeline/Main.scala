@@ -214,9 +214,13 @@ object Pipeline {
     conf.get("--config") match {
       case Some(cfgPath) =>
         // config-driven entry: the reference's sole UX is
-        // `reveald run --config config.json` (`examples/reveald.service:8`)
-        val counts = pipeline.config.ConfigRunner.run(
-          spark, cfgPath, conf, n, cores)
+        // `reveald run --config config.json` (`examples/reveald.service:8`);
+        // `--stream <landingDir>` runs the supervised-daemon form
+        // (ConfigRunner.runStream — honors the top-level streamDedupNear block)
+        val counts =
+          if (conf.contains("--stream"))
+            pipeline.config.ConfigRunner.runStream(spark, cfgPath, conf)
+          else pipeline.config.ConfigRunner.run(spark, cfgPath, conf, n, cores)
         println(counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
       case None =>
         val webtext = conf.get("--input")

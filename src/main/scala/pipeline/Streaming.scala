@@ -83,10 +83,11 @@ object Streaming {
     * (rules + deadletter), so they are plain conditional aggregates; the
     * old persist + separate sinkCounts action doubled the per-batch work. */
   def startDocs(docStream: DataFrame, outDir: String,
-                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                trigger: Trigger = Trigger.AvailableNow(),
+                rules: Seq[stages.RouteRule] = stages.Route.defaultRules): StreamingQuery = {
     val ledger = new io.Ledger(outDir)
     val metrics = new streaming.StreamMetrics(outDir)
-    val sinkNames = Pipeline.sinkNamesFor(stages.Route.defaultRules)
+    val sinkNames = Pipeline.sinkNamesFor(rules)
     // query name: the metrics table's `query` column must correlate the
     // listener's input/late rows (keyed by progress.name) with the
     // foreachBatch sink rows. Derived from outDir so it is (a) STABLE
@@ -108,7 +109,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val obs = org.apache.spark.sql.Observation()
         val routed = Pipeline.observeSinkCounts(
-          Pipeline.transform(batch)
+          Pipeline.transform(batch, rules = rules)
             .select(col("url"), col("warc_ts"), col("lang"), col("source"),
               col("host"), col("title"), col("status"), col("extracted_text"),
               col("is_corrupt"), col("sink"), col("day")),
@@ -144,10 +145,11 @@ object Streaming {
   def startDocsNearDedup(docStream: DataFrame, outDir: String,
                          delayMs: Long = 3600000L, nGram: Int = 3,
                          bands: Int = 4, rowsPerBand: Int = 4,
-                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         rules: Seq[stages.RouteRule] = stages.Route.defaultRules): StreamingQuery = {
     val ledger = new io.Ledger(outDir)
     val metrics = new streaming.StreamMetrics(outDir)
-    val sinkNames = Pipeline.sinkNamesFor(stages.Route.defaultRules)
+    val sinkNames = Pipeline.sinkNamesFor(rules)
     val qname = f"neardedup_docs_${outDir.hashCode & 0x7fffffff}%08x"
     streaming.NearDedup.verdicts(docStream, delayMs, nGram, bands, rowsPerBand)
       .writeStream
@@ -159,7 +161,7 @@ object Streaming {
           val kept = streaming.NearDedup.finalize(batch.toDF)
           val obs = org.apache.spark.sql.Observation()
           val routed = Pipeline.observeSinkCounts(
-            Pipeline.transform(kept)
+            Pipeline.transform(kept, rules = rules)
               .select(col("url"), col("warc_ts"), col("lang"), col("source"),
                 col("host"), col("title"), col("status"), col("extracted_text"),
                 col("is_corrupt"), col("sink"), col("day")),

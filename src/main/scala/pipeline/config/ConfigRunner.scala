@@ -208,6 +208,88 @@ object ConfigRunner {
     deliver(spec, r, outDir, new Push.LocalFileTransport(s"$outDir/pushed"))
   }
 
+  /**
+   * Streaming config entry (`Main --config cfg.json --stream <landingDir>`):
+   * the supervised-daemon form of [[run]]. The landing directory is a
+   * file-source tap of doc-shaped parquet (the shipper's landing zone —
+   * `Streaming.readWebtext`); each micro-batch runs the batch stage chain
+   * and lands per-sink partitioned files + ledger commits, and the
+   * top-level `streamDedupNear` block (if present) routes through the
+   * approximate near-dup daemon ([[pipeline.streaming.NearDedup]])
+   * instead of the plain chain.
+   *
+   * Delivery model: a micro-batch's write IS the delivery (every sink's
+   * slice is a `sink=` partition — the fused fan-out pattern). Push-kind
+   * sinks are refused config-shaped here: their streaming form is the
+   * count/time push-flush daemon (Streaming.startPushFlushes), which
+   * buffers payload lines statefully and must not be silently conflated
+   * with a table write.
+   *
+   * Config `transforms` apply to the doc stream BEFORE the dedup daemon —
+   * narrow transforms (quality_filter, pii_redact, token_count, …) bind
+   * to streaming frames unchanged; stateful ones (dedup_near itself)
+   * raise their own config-shaped refusal, pointing here.
+   *
+   * Returns exact per-sink delivered counts summed over all micro-batches
+   * (from the stream-metrics table the foreachBatch writer feeds — no
+   * read-back scan of the written data).
+   */
+  def runStream(spark: SparkSession, cfgPath: String,
+                conf: Map[String, String]): Map[String, Long] = {
+    val spec = PipelineConfig.load(cfgPath)
+    val landing = conf.getOrElse("--stream",
+      throw new IllegalArgumentException("--stream requires a landing directory"))
+    val outDir = conf.getOrElse("--out", "/tmp/graft-config-stream-out")
+    spec.sinks.foreach { d =>
+      d.kind match {
+        case "s3" | "s3b" | "printer" => ()
+        case other => throw new IllegalArgumentException(
+          s"sink '${d.id}' of type '$other' is not deliverable in --stream mode: " +
+            "the streaming write materializes table sinks only; push sinks " +
+            "need the push-flush daemon (Streaming.startPushFlushes)")
+      }
+    }
+    // schema from the landing zone's existing files: the daemon tails
+    // whatever shape the shipper lands (a streaming file source needs an
+    // explicit schema; inferring once at start is the standard tap shape)
+    val schema = spark.read.parquet(landing).schema
+    require(schema.fieldNames.contains("warc_ts") && schema.fieldNames.contains("text"),
+      s"--stream landing docs need warc_ts + text columns; found: ${schema.fieldNames.mkString(", ")}")
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", conf.getOrElse("--max-files-per-trigger", "4").toInt)
+      .parquet(landing)
+    // shippers commonly land TIMESTAMP_NTZ parquet (DuckDB/arrow writers
+    // default to it); event-time watermarks require TIMESTAMP — coerce at
+    // the tap (session TZ is pinned UTC, so the reinterpretation is exact)
+    val docs0 = schema.find(_.name == "warc_ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        raw.withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+      case _ => raw
+    }
+    val docs =
+      if (spec.transforms.isEmpty) docs0
+      else {
+        val undecoded = col("text").isNull && col("url").isNull && col("lang").isNull
+        TransformCompiler(spec)(
+          docs0.withColumn(TransformCompiler.BypassCol, undecoded))
+          .drop(TransformCompiler.BypassCol)
+      }
+    val rs = rules(spec)
+    val q = spec.streamDedupNear match {
+      case Some(nd) => pipeline.Streaming.startDocsNearDedup(docs, outDir,
+        delayMs = nd.delayMs, nGram = nd.nGram, bands = nd.bands,
+        rowsPerBand = nd.rowsPerBand, rules = rs)
+      case None => pipeline.Streaming.startDocs(docs, outDir, rules = rs)
+    }
+    q.awaitTermination()
+    // exact per-sink totals from the metrics table (last-wins per
+    // (batch, query, sink) — replays supersede, never double-count)
+    pipeline.streaming.StreamMetrics.load(spark, outDir)
+      .filter(col("kind") === "sink")
+      .groupBy("name").agg(sum("rows").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Raw frame in the wire shape each source kind consumes. With
     * `readPaths = true` (EXPLICIT opt-in: the CLI's `--read-paths true`), a
     * line-shaped source whose configured `path` exists is read from disk —

@@ -58,11 +58,28 @@ final case class RuleSpec(when: String, sinks: Seq[String])
   * Compiled by [[TransformCompiler]]. */
 final case class TransformSpec(kind: String, options: Map[String, String] = Map.empty)
 
+/** Top-level `streamDedupNear` block (our extension): delivery-level
+  * streaming NEAR-DUP dedup — compiles to
+  * pipeline.Streaming.startDocsNearDedup in `--stream` mode. It sits at
+  * the SINK side of the chain, not in `transforms`: the batch `dedup_near`
+  * transform's transitive closure iterates driver-side and honestly
+  * refuses streaming frames (TransformCompiler), so the streaming form is
+  * a separate daemon with its documented approximations
+  * (pipeline.streaming.NearDedup). `delayMs` is the watermark horizon —
+  * parsed from a duration string ("1h", "30m", "10s", "500ms") so configs
+  * read like the reference's flushFreq values. */
+final case class StreamNearDedupSpec(
+    delayMs: Long = 3600000L,
+    nGram: Int = 3,
+    bands: Int = 4,
+    rowsPerBand: Int = 4)
+
 final case class PipelineSpec(
     sources: Seq[SourceSpec],
     sinks: Seq[SinkSpec],
     rules: Seq[RuleSpec],
-    transforms: Seq[TransformSpec] = Nil)
+    transforms: Seq[TransformSpec] = Nil,
+    streamDedupNear: Option[StreamNearDedupSpec] = None)
 
 object PipelineConfig {
 
@@ -162,7 +179,51 @@ object PipelineConfig {
         TransformSpec(kind, opts)
       }.toSeq).getOrElse(Nil)
 
-    PipelineSpec(sources, sinks, rules, transforms)
+    val streamNd = Option(root.get("streamDedupNear")).map { n =>
+      if (!n.isObject)
+        throw new IllegalArgumentException(
+          "streamDedupNear must be an object {delay, nGram, bands, rowsPerBand}")
+      // reject unknown keys config-shaped: a typo ("rowPerBand") silently
+      // falling back to the default would change dedup recall without a trace
+      val known = Set("delay", "nGram", "bands", "rowsPerBand")
+      val unknown = n.properties().asScala.map(_.getKey).filterNot(known)
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"streamDedupNear: unknown key(s) ${unknown.mkString(", ")} " +
+            s"(expected: ${known.toSeq.sorted.mkString(", ")})")
+      def pos(field: String, default: Int): Int = {
+        val v = int(n, field).getOrElse(default)
+        if (v < 1) throw new IllegalArgumentException(
+          s"streamDedupNear.$field must be >= 1, got $v")
+        v
+      }
+      StreamNearDedupSpec(
+        delayMs = str(n, "delay").map(parseDuration("streamDedupNear.delay", _))
+          .getOrElse(3600000L),
+        nGram = pos("nGram", 3),
+        bands = pos("bands", 4),
+        rowsPerBand = pos("rowsPerBand", 4))
+    }
+
+    PipelineSpec(sources, sinks, rules, transforms, streamNd)
+  }
+
+  private val DurationRe = """(\d+)\s*(ms|s|m|h|d)""".r
+
+  /** "10s"/"30m"/"1h"/"500ms"/"2d" → milliseconds — the reference's
+    * flushFreq spelling (`examples/stdin_to_s3_config.json:15` "10s"),
+    * validated EAGERLY at config load with a config-shaped error (a bad
+    * duration must not surface as an opaque Spark interval error at
+    * stream start). */
+  def parseDuration(field: String, s: String): Long = s.trim match {
+    case DurationRe(n, unit) =>
+      val mult = unit match {
+        case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+        case "h" => 3600000L; case "d" => 86400000L
+      }
+      n.toLong * mult
+    case other => throw new IllegalArgumentException(
+      s"$field: cannot parse duration '$other' (expected <n>ms|s|m|h|d, e.g. \"30m\")")
   }
 
   def load(path: String, env: Map[String, String] = sys.env): PipelineSpec =
@@ -217,6 +278,13 @@ object PipelineConfig {
         n.put("type", t.kind)
         t.options.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
       }
+    }
+    spec.streamDedupNear.foreach { nd =>
+      val n = root.putObject("streamDedupNear")
+      n.put("delay", s"${nd.delayMs}ms") // canonical ms form round-trips exactly
+      n.put("nGram", nd.nGram)
+      n.put("bands", nd.bands)
+      n.put("rowsPerBand", nd.rowsPerBand)
     }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }

@@ -557,6 +557,62 @@ class ConfigRunnerSpec extends AnyFunSuite {
       bySink.values.forall(_ > 0), s"got $bySink")
   }
 
+  test("examples/stream_neardedup_config.json: --stream daemon counts == batch dedup_near chain") {
+    val s = sc
+    import s.implicits._
+    val cfgPath = "examples/stream_neardedup_config.json"
+    assert(new java.io.File(cfgPath).exists(), s"missing $cfgPath")
+    val spec = PipelineConfig.load(cfgPath, Map.empty)
+    // pin the committed example's block content (duration string parsed)
+    assert(spec.streamDedupNear.contains(pipeline.config.StreamNearDedupSpec(
+      delayMs = 86400000L, nGram = 3, bands = 2, rowsPerBand = 4)))
+    assert(spec.sinks.map(_.kind) == Seq("s3"))
+    // landing zone: two shipper files; the second re-ships two first-file
+    // texts (→ near-dup dropped) plus one new doc. coalesce(1): multi-part
+    // files split micro-batch arrival order nondeterministically
+    val t1 = "title: alpha beta status=503 bytes=10 method=GET gamma delta epsilon zeta"
+    val t2 = "title: red orange status=200 bytes=20 method=GET yellow green blue indigo"
+    val t3 = "oak elm birch maple cedar willow aspen spruce"
+    val t4 = "quark lepton boson gluon photon neutrino muon tau"
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    val cols = Seq("url", "warc_ts", "text", "lang", "source")
+    val landing = Files.createTempDirectory("graft-cfgstream-landing").toString
+    Seq(("u/a1", ts(1), t1, "en", "src"), ("u/a2", ts(2), t2, "de", "src"),
+      ("u/a3", ts(3), t3, "en", "src"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100) // mtime spacing: maxFilesPerTrigger=1 goes oldest-first
+    Seq(("u/b1", ts(30), t1, "en", "src"), ("u/b2", ts(31), t4, "ja", "src"),
+      ("u/b3", ts(32), t2, "de", "src"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    val out = Files.createTempDirectory("graft-cfgstream-out").toString
+    val got = ConfigRunner.runStream(s, cfgPath, Map(
+      "--stream" -> landing, "--out" -> out, "--max-files-per-trigger" -> "1"))
+    // batch twin: the dedup_near transform with the SAME knobs, then the
+    // config's routing (no routing block → every event to every sink)
+    val deduped = pipeline.config.TransformCompiler.one(
+      pipeline.config.TransformSpec("dedup_near", Map(
+        "nGram" -> "3", "bands" -> "2", "rowsPerBand" -> "4")))(
+      s.read.parquet(landing))
+    assert(deduped.count() == 4) // one rep per dup class + both singletons
+    val batchCounts = Aggregate.sinkCounts(
+      Pipeline.transform(deduped, rules = ConfigRunner.rules(spec)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batchCounts && got.values.sum > 0,
+      s"stream $got vs batch $batchCounts")
+    // ledger reconciles with the metrics-table counts runStream returned
+    assert(new pipeline.io.Ledger(out).committedRows().values.sum == got.values.sum)
+    // push-kind sinks are refused config-shaped in --stream mode
+    val pushSpec = spec.copy(sinks = spec.sinks :+
+      pipeline.config.SinkSpec("hook", "webhook"))
+    val pushCfg = Files.createTempFile("graft-cfgstream", ".json")
+    Files.write(pushCfg, PipelineConfig.render(pushSpec).getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      ConfigRunner.runStream(s, pushCfg.toString, Map(
+        "--stream" -> landing, "--out" -> out))
+    }
+    assert(e.getMessage.contains("hook") && e.getMessage.contains("push-flush"))
+  }
+
   test("conflicting grok schemas across sources fail with a config-shaped error") {
     val s = sc
     val spec = pipeline.config.PipelineSpec(

@@ -128,6 +128,41 @@ class ConfigSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("must be a scalar"))
   }
 
+  test("streamDedupNear block: durations, defaults, round-trip, validation") {
+    def parse(block: String) = PipelineConfig.parse(
+      s"""{"sources": {"in": {"type": "file"}},
+         | "destinations": {"s3": {"type": "s3"}},
+         | "streamDedupNear": $block}""".stripMargin)
+    // duration spellings
+    assert(parse("""{"delay": "30m"}""").streamDedupNear.get.delayMs == 1800000L)
+    assert(parse("""{"delay": "10s"}""").streamDedupNear.get.delayMs == 10000L)
+    assert(parse("""{"delay": "500ms"}""").streamDedupNear.get.delayMs == 500L)
+    assert(parse("""{"delay": "2d"}""").streamDedupNear.get.delayMs == 172800000L)
+    // defaults match the programmatic API's
+    assert(parse("{}").streamDedupNear.contains(
+      pipeline.config.StreamNearDedupSpec(3600000L, 3, 4, 4)))
+    // absent block → None
+    assert(PipelineConfig.parse(
+      """{"sources": {"in": {"type": "file"}},
+        | "destinations": {"s3": {"type": "s3"}}}""".stripMargin)
+      .streamDedupNear.isEmpty)
+    // render/parse round-trip (canonical ms form)
+    val spec = parse("""{"delay": "24h", "bands": 2, "rowsPerBand": 8}""")
+    assert(PipelineConfig.parse(PipelineConfig.render(spec)).streamDedupNear ==
+      spec.streamDedupNear)
+    // config-shaped failures at LOAD, never at stream start
+    val e1 = intercept[IllegalArgumentException](parse("""{"delay": "soon"}"""))
+    assert(e1.getMessage.contains("streamDedupNear.delay") &&
+      e1.getMessage.contains("soon"))
+    val e2 = intercept[IllegalArgumentException](parse("""{"bands": 0}"""))
+    assert(e2.getMessage.contains("bands"))
+    // a typo'd key must not silently fall back to a default
+    val e3 = intercept[IllegalArgumentException](parse("""{"rowPerBand": 4}"""))
+    assert(e3.getMessage.contains("rowPerBand"))
+    val e4 = intercept[IllegalArgumentException](parse("""[1, 2]"""))
+    assert(e4.getMessage.contains("must be an object"))
+  }
+
   test("rule compiler: operators and conjunction") {
     val s = spark
     import s.implicits._
