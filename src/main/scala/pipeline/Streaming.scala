@@ -84,18 +84,23 @@ object Streaming {
     * old persist + separate sinkCounts action doubled the per-batch work. */
   def startDocs(docStream: DataFrame, outDir: String,
                 trigger: Trigger = Trigger.AvailableNow(),
-                rules: Seq[stages.RouteRule] = stages.Route.defaultRules): StreamingQuery = {
+                rules: Seq[stages.RouteRule] = stages.Route.defaultRules,
+                metricsDir: String = ""): StreamingQuery = {
     val ledger = new io.Ledger(outDir)
-    val metrics = new streaming.StreamMetrics(outDir)
-    val sinkNames = Pipeline.sinkNamesFor(rules)
     // query name: the metrics table's `query` column must correlate the
     // listener's input/late rows (keyed by progress.name) with the
     // foreachBatch sink rows. Derived from outDir so it is (a) STABLE
     // across restarts — a re-executed micro-batch after a crash must hit
     // the same idempotence key in StreamMetrics, which a random name would
-    // defeat — and (b) distinct for concurrent streams, which cannot
-    // legally share one outDir anyway (same checkpointLocation).
+    // defeat — and (b) distinct for concurrent streams (distinct outDirs —
+    // they cannot legally share one: same checkpointLocation). The metrics
+    // TABLE may be shared across a daemon's queries via `metricsDir`
+    // (default: this query's outDir): the sinkWriter role fence keys every
+    // row by this query, so N queries writing one table stay disjoint.
     val qname = f"routed_docs_${outDir.hashCode & 0x7fffffff}%08x"
+    val metrics = streaming.StreamMetrics.sinkWriter(
+      if (metricsDir.nonEmpty) metricsDir else outDir, qname)
+    val sinkNames = Pipeline.sinkNamesFor(rules)
     docStream
       // streaming metrics surface: the same observe() counters as the batch
       // path, reported per micro-batch in StreamingQueryProgress
@@ -146,11 +151,13 @@ object Streaming {
                          delayMs: Long = 3600000L, nGram: Int = 3,
                          bands: Int = 4, rowsPerBand: Int = 4,
                          trigger: Trigger = Trigger.AvailableNow(),
-                         rules: Seq[stages.RouteRule] = stages.Route.defaultRules): StreamingQuery = {
+                         rules: Seq[stages.RouteRule] = stages.Route.defaultRules,
+                         metricsDir: String = ""): StreamingQuery = {
     val ledger = new io.Ledger(outDir)
-    val metrics = new streaming.StreamMetrics(outDir)
-    val sinkNames = Pipeline.sinkNamesFor(rules)
     val qname = f"neardedup_docs_${outDir.hashCode & 0x7fffffff}%08x"
+    val metrics = streaming.StreamMetrics.sinkWriter(
+      if (metricsDir.nonEmpty) metricsDir else outDir, qname)
+    val sinkNames = Pipeline.sinkNamesFor(rules)
     streaming.NearDedup.verdicts(docStream, delayMs, nGram, bands, rowsPerBand)
       .writeStream
       .queryName(qname)

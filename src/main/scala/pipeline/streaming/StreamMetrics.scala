@@ -32,7 +32,8 @@ import org.apache.spark.sql.types._
  * equal the ledger's per-sink totals.
  */
 final class StreamMetrics(dir: String,
-    allowedKinds: Set[String] = StreamMetrics.SinkKinds) {
+    allowedKinds: Set[String] = StreamMetrics.SinkKinds,
+    role: String = StreamMetrics.AnyRole) {
 
   import pipeline.io.Jsonl.esc
 
@@ -40,7 +41,8 @@ final class StreamMetrics(dir: String,
   Files.createDirectories(file.getParent)
 
   // LAST-WINS semantics, the Ledger contract: every append carries a
-  // strictly increasing `seq` (resumed from the file on construction, so
+  // strictly increasing `seq` (a per-FILE counter shared by every writer
+  // of this table in the JVM, resumed from the file on first touch, so
   // restarts keep ascending) and [[StreamMetrics.load]] keeps only the
   // highest-seq row per (batch_id, query, kind, name). A foreachBatch
   // re-execution after a mid-batch failure, a listener re-emission after
@@ -50,34 +52,37 @@ final class StreamMetrics(dir: String,
   // the two surfaces cannot diverge on replay. (A write-side first-wins
   // dedup — the first round-4 design — silently dropped every row of a
   // reprocessed outDir and could collide distinct keys via its joined
-  // string key.)
-  private val SeqRe = """"seq":(\d+)""".r
-  private var seq: Long =
-    if (!Files.exists(file)) 0L
-    else {
-      var mx = -1L
-      Files.readAllLines(file, UTF_8).forEach { l =>
-        SeqRe.findFirstMatchIn(l).foreach(m => mx = math.max(mx, m.group(1).toLong))
-      }
-      mx + 1
-    }
+  // string key. A per-INSTANCE seq — the round-5 design — made two
+  // writers on one file able to TIE on (seq, key), which is why the
+  // counter lives in the per-file registry now.)
+  private val seq = StreamMetrics.counterFor(file)
 
-  /** ONE-WRITER-PER-KIND invariant: the last-wins load is deterministic
-    * only because no two instances (with independent seq counters over one
-    * shared file) ever write the same (batch, query, kind, name) key —
-    * same-key rows from two writers could tie on seq. Each instance
-    * therefore declares its kind space up front ([[StreamMetrics.SinkKinds]]
-    * for the foreachBatch writer, [[StreamMetrics.ListenerKinds]] for the
-    * progress listener — disjoint by construction) and `append` rejects
-    * kinds outside it. */
+  /** WRITER-ROLE invariant (generalizes round-5's one-writer-per-kind):
+    * the last-wins load is deterministic because no two writers ever
+    * produce the same (batch, query, kind, name) key — seq ties are
+    * structurally impossible (the counter is shared per file) and
+    * same-key interleavings resolve to the latest append, but a shared
+    * table across CONCURRENT QUERIES additionally needs each sink-kind
+    * writer fenced to its own query: a writer constructed with a concrete
+    * `role` may only append rows whose `query` IS that role (use
+    * [[StreamMetrics.sinkWriter]]), so query A's writer can never
+    * supersede query B's counts. The listener writer keeps the disjoint
+    * kind space instead (input/late vs sink), with roles free — one
+    * listener serves every query on the session. */
   def append(batchId: Long, query: String, kind: String, name: String,
-             rows: Long): Unit = synchronized {
+             rows: Long): Unit = {
     require(allowedKinds.contains(kind),
       s"StreamMetrics writer for kinds $allowedKinds got kind '$kind' — " +
         "one writer instance per kind space (see SinkKinds/ListenerKinds)")
-    pipeline.io.Jsonl.appendLine(file,
-      s"""{"seq":$seq,"batch_id":$batchId,"query":"${esc(query)}","kind":"${esc(kind)}","name":"${esc(name)}","rows":$rows,"ts":"${java.time.Instant.now()}"}""")
-    seq += 1
+    require(role == StreamMetrics.AnyRole || query == role,
+      s"StreamMetrics writer for query-role '$role' got query '$query' — " +
+        "one sink writer per query (see StreamMetrics.sinkWriter)")
+    // the seq draw and the file append are one atomic step per file (the
+    // registry lock), so on-disk seq order == append order across writers
+    seq.synchronized {
+      pipeline.io.Jsonl.appendLine(file,
+        s"""{"seq":${seq.getAndIncrement()},"batch_id":$batchId,"query":"${esc(query)}","kind":"${esc(kind)}","name":"${esc(name)}","rows":$rows,"ts":"${java.time.Instant.now()}"}""")
+    }
   }
 
   def path: String = file.toString
@@ -89,6 +94,32 @@ object StreamMetrics {
   val SinkKinds: Set[String] = Set("sink")
   /** Kind space of the progress-listener writer ([[attach]]). */
   val ListenerKinds: Set[String] = Set("input", "late")
+  /** Role wildcard: writer not fenced to one query (the listener). */
+  val AnyRole: String = "*"
+
+  // per-file registry: ONE monotone seq counter per metrics table in this
+  // JVM (seeded from the file's max seq on first touch), shared by every
+  // writer — a daemon's N named queries + the listener all draw from it,
+  // so replayed rows strictly supersede and two writers can never tie
+  private val SeqRe = """"seq":(\d+)""".r
+  private val counters =
+    scala.collection.concurrent.TrieMap.empty[Path, java.util.concurrent.atomic.AtomicLong]
+  private def counterFor(file: Path): java.util.concurrent.atomic.AtomicLong =
+    counters.getOrElseUpdate(file.toAbsolutePath.normalize(), {
+      var mx = -1L
+      if (Files.exists(file))
+        Files.readAllLines(file, UTF_8).forEach { l =>
+          SeqRe.findFirstMatchIn(l).foreach(m => mx = math.max(mx, m.group(1).toLong))
+        }
+      new java.util.concurrent.atomic.AtomicLong(mx + 1)
+    })
+
+  /** Sink-count writer FENCED to one query — the multi-query-daemon form:
+    * every concurrent query gets its own writer on the shared table, and
+    * the role fence makes cross-query key collisions structurally
+    * impossible (not merely unlikely). */
+  def sinkWriter(dir: String, queryName: String): StreamMetrics =
+    new StreamMetrics(dir, SinkKinds, queryName)
 
   val schema: StructType = StructType(Seq(
     StructField("seq", LongType),

@@ -103,9 +103,10 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream metrics: writers declare disjoint kind spaces (one writer per kind)") {
-    // two instances share one file with independent seq counters, so
-    // last-wins is deterministic ONLY because their kind spaces are
-    // disjoint — append enforces the declared space (the r4 ADVICE finding)
+    // writers share one PER-FILE seq counter (the registry), so last-wins
+    // is deterministic; the kind-space split keeps the listener and the
+    // sink writers off each other's keys — append enforces the declared
+    // space (the r4 ADVICE finding)
     val out = Files.createTempDirectory("graft-sm-roles").toString
     val sink = new pipeline.streaming.StreamMetrics(out)
     val listener = new pipeline.streaming.StreamMetrics(
@@ -117,6 +118,56 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](listener.append(0L, "q", "sink", "s3", 2L))
     assert(pipeline.streaming.StreamMetrics.SinkKinds
       .intersect(pipeline.streaming.StreamMetrics.ListenerKinds).isEmpty)
+    // role fence (the multi-query registry, r5 VERDICT #5): a sinkWriter is
+    // bound to ITS query — appending under another query's name is a bug
+    // in the caller, rejected config-shaped, so two queries sharing one
+    // table can never supersede each other's counts
+    val qa = pipeline.streaming.StreamMetrics.sinkWriter(out, "qa")
+    qa.append(1L, "qa", "sink", "s3", 5L)
+    intercept[IllegalArgumentException](qa.append(1L, "qb", "sink", "s3", 5L))
+  }
+
+  test("stream metrics: two concurrent queries share one table (writer registry)") {
+    val s = sc
+    val landingA = Files.createTempDirectory("graft-mq-landing-a").toString
+    val landingB = Files.createTempDirectory("graft-mq-landing-b").toString
+    val outA = Files.createTempDirectory("graft-mq-out-a").toString
+    val outB = Files.createTempDirectory("graft-mq-out-b").toString
+    val shared = Files.createTempDirectory("graft-mq-metrics").toString
+    Webtext.df(s, 700, 4).write.mode("overwrite").parquet(landingA)
+    Webtext.df(s, 400, 4).write.mode("overwrite").parquet(landingB)
+    // the production daemon shape: N named queries (own outDir/checkpoint
+    // each), ONE queryable metrics table. Run CONCURRENTLY so appends
+    // interleave through the shared per-file seq counter.
+    val qa = Streaming.startDocs(
+      Streaming.readWebtext(s, landingA), outA, metricsDir = shared)
+    val qb = Streaming.startDocs(
+      Streaming.readWebtext(s, landingB), outB, metricsDir = shared)
+    qa.awaitTermination(); qb.awaitTermination()
+    val m = pipeline.streaming.StreamMetrics.load(s, shared)
+      .filter(col("kind") === "sink")
+    val perQuery = m.groupBy("query").agg(sum(col("rows")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perQuery.size == 2, s"expected 2 query labels, got $perQuery")
+    // EXACT per-query ledger reconciliation: each query's rows in the
+    // shared table == its own ledger's committed totals
+    val la = new Ledger(outA).committedRows().values.sum
+    val lb = new Ledger(outB).committedRows().values.sum
+    val nameA = f"routed_docs_${outA.hashCode & 0x7fffffff}%08x"
+    val nameB = f"routed_docs_${outB.hashCode & 0x7fffffff}%08x"
+    assert(perQuery(nameA) == la && perQuery(nameB) == lb,
+      s"shared-table per-query counts $perQuery vs ledgers a=$la b=$lb")
+    // last-wins still holds on the shared table: replay one query's batch
+    val before = pipeline.streaming.StreamMetrics.load(s, shared).count()
+    pipeline.streaming.StreamMetrics.sinkWriter(shared, nameA)
+      .append(0L, nameA, "sink", "s3", 123456L)
+    val after = pipeline.streaming.StreamMetrics.load(s, shared)
+    assert(after.count() == before, "replay on the shared table must not add rows")
+    assert(after.filter(col("query") === nameA && col("batch_id") === 0 &&
+      col("name") === "s3").head().getAs[Long]("rows") == 123456L)
+    // and the other query's rows are untouched
+    assert(after.filter(col("kind") === "sink" && col("query") === nameB)
+      .agg(sum(col("rows"))).head().getLong(0) == lb)
   }
 
   test("stream metrics: watermark-dropped rows surface in the late counter") {
