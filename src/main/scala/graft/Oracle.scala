@@ -298,6 +298,37 @@ object Oracle {
         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2""".stripMargin,
 
+    "q_dedup_image" ->
+      // the Spark side renders a REAL 9×8 PNG per doc (pngFromDhash),
+      // decodes it back through javax.imageio, pools to the dHash grid and
+      // runs the banded hamming probe; the fixture construction makes each
+      // image's dHash pure arithmetic on doc_id, so the oracle rebuilds
+      // the hashes directly (base bytes + flipped bits, bit 63 kept clear)
+      // and replays the 8-band probe + bit_count verify in SQL
+      s"""WITH dh AS (
+        |  SELECT doc_id,
+        |    xor(
+        |      CAST(list_sum(list_transform(range(0, 8), j ->
+        |        (((doc_id % 25) * 11 + j * 17 + 7)
+        |          % (CASE WHEN j = 7 THEN 128 ELSE 256 END)) << (j * 8)))
+        |        AS BIGINT),
+        |      CAST(COALESCE(list_sum(list_transform(
+        |        range(0, LEAST(doc_id // 25, 3)), k ->
+        |          CAST(1 AS BIGINT) <<
+        |            CAST(((doc_id // 25) * 9 + k * 13) % 63 AS INTEGER))), 0)
+        |        AS BIGINT)) AS sh
+        |  FROM documents WHERE doc_id < 200
+        |), banded AS (
+        |  SELECT doc_id, sh, t.i AS band,
+        |    (sh >> (CAST(t.i AS INTEGER) * 8)) & 255 AS bkey
+        |  FROM dh, range(0, 8) t(i)
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sa, r.sh AS sb
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+
     "q_dedup_ngram" ->
       s"""WITH sh AS (
         |  SELECT doc_id, unnest($shinglesSql) AS sh FROM (

@@ -243,6 +243,35 @@ object Queries {
       t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
       bits = 16, bands = 4, maxHamming = 2)
 
+  /** Image near-dup via dHash hamming-ball over REAL PNGs. The fixture
+    * images are built so their dHash is known BY CONSTRUCTION: each doc's
+    * target hash is pure arithmetic on doc_id (25 cluster bases whose
+    * every byte differs across clusters — inter-cluster hamming ≥ 8,
+    * never candidates — plus 0–3 flipped bits per variant), and
+    * pngFromDhash emits a 9×8 gradient PNG whose decode→pool→compare
+    * path recovers exactly that hash. The Spark side therefore exercises
+    * the full PNG encode → javax.imageio decode → pooling → banded-probe
+    * pipeline, while the oracle derives the same hashes arithmetically
+    * and replays the probe in SQL — a stubbed codec cannot pass.
+    * Top byte is mod 128 and flip positions mod 63 so bit 63 stays
+    * clear: both engines then agree on sign-free shift arithmetic. */
+  def qDedupImage(s: SparkSession, dir: String): DataFrame = {
+    val g = pmod(col("doc_id"), lit(25L))
+    val v = floor(col("doc_id") / lit(25)).cast("long") // variant 0..7
+    val base = (0 until 8).map { j =>
+      shiftleft(pmod(g * 11 + lit(j * 17 + 7),
+        lit(if (j == 7) 128L else 256L)), j * 8)
+    }.reduce(_ bitwiseOR _)
+    val flip = (0 until 3).map { k =>
+      when(v > k, call_function("shiftleft", lit(1L),
+        pmod(v * 9 + lit(k * 13), lit(63L)).cast("int"))).otherwise(lit(0L))
+    }.reduce(_ bitwiseXOR _)
+    val imgs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        pipeline.expr.ImageExprs.pngFromDhash(base bitwiseXOR flip).as("img"))
+    Dedup.imageNearDup(imgs, "doc_id", "img", bands = 8, maxHamming = 3)
+  }
+
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(
       t(s, dir, "documents").filter(col("doc_id") < 1500), "doc_id", "text",

@@ -39,6 +39,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_simhash_near" -> (Queries.qDedupSimhashNear _),
+    "q_dedup_image" -> (Queries.qDedupImage _),
     "q_dedup_ngram" -> (Queries.qDedupNgram _),
     "q_dedup_embed" -> (Queries.qDedupEmbed _),
     "q_dedup_embed_lsh" -> (Queries.qDedupEmbedLsh _),

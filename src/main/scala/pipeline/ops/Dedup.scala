@@ -174,14 +174,62 @@ object Dedup {
                      bits: Int = 16, bands: Int = 4, maxHamming: Int = 3,
                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(bits >= 2 && bits <= 32, s"bits must be 2..32, got $bits")
+    val sig = df.select(col(idCol).as("id"),
+      pipeline.expr.PortableExprs.simhash(col(textCol), bits).as("sh"))
+    hammingBandPairs(sig, bits, bands, maxHamming, maxBucketSize)
+  }
+
+  /**
+   * Image near-duplicate pairs: 64-bit dHash (difference hash —
+   * pipeline.expr.ImageDhashExpr's decode → 8×9 grayscale grid →
+   * horizontal-gradient bits) through the SAME banded hamming multi-probe
+   * as [[simhashNearDup]]. Recall is pigeonhole-EXACT for
+   * maxHamming ≤ bands − 1, and the verify is `bit_count(xor) ≤
+   * maxHamming` — exact hamming on the real fingerprints.
+   *
+   * Undecodable / too-small images hash to null and simply generate no
+   * pairs (an image that cannot be fingerprinted has no near-duplicates;
+   * this is pair-space, so nothing "vanishes" — apply-side callers union
+   * them back untouched, as dedup_near does for null signatures).
+   *
+   * Scale shape: the decode is the expensive part and runs ONCE per row
+   * behind the barrier (narrow — image bytes never shuffle; only the
+   * 8-byte hash rides the band exchange), then everything downstream is
+   * the skinny (id, band, bkey, sh) probe of simhashNearDup.
+   */
+  def imageNearDup(df: DataFrame, idCol: String, bytesCol: String,
+                   bands: Int = 8, maxHamming: Int = 3,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      pipeline.expr.ImageExprs.dhash(col(bytesCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+    hammingBandPairs(sig, 64, bands, maxHamming, maxBucketSize)
+  }
+
+  /**
+   * Shared banded hamming multi-probe over an (id, sh) long-signature
+   * frame: slice the `bits`-bit signature into `bands` contiguous
+   * bit-slices, bucket on each slice, self-join buckets, verify candidates
+   * with exact `bit_count(xor)`. Pigeonhole: recall is EXACT for
+   * maxHamming ≤ bands − 1 (k differing bits dirty ≤ k bands, leaving a
+   * clean shared one). The input frame is re-partitioned on id as a
+   * MATERIALIZATION BARRIER so the signature computes once and feeds both
+   * self-join sides as a ReusedExchange; signatures (8 bytes) ride the
+   * pair dedup, saving two re-join shuffles. `maxBucketSize` guards the
+   * low-entropy quadratic hazard exactly as in [[minhashLsh]].
+   */
+  private def hammingBandPairs(sigFrame: DataFrame, bits: Int, bands: Int,
+                               maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    require(bits >= 2 && bits <= 64, s"bits must be 2..64, got $bits")
     require(bands >= 1 && bits % bands == 0,
       s"bands must divide bits, got $bands over $bits")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
-    val sig = df.select(col(idCol).as("id"),
-      pipeline.expr.PortableExprs.simhash(col(textCol), bits).as("sh"))
-      .repartition(col("id"))
+    // bandBits == 64 (bands=1 over a 64-bit sig) would make the mask
+    // arithmetic wrap (1L<<64 == 1L); the full-width "band" is the whole
+    // signature, mask −1
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sig = sigFrame.repartition(col("id"))
     val banded = sig.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("sh"), b * bandBits)

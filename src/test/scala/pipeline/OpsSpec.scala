@@ -167,6 +167,86 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: PNG round-trip recovers every bit; pooling matches independent reimpl") {
+    import pipeline.expr.{ImageDhashExpr, PngEncodeExpr, PngFromBitsExpr}
+    // 1) bit-exact round trip: pngFromDhash encodes a REAL PNG whose 9×8
+    //    grid is the identity pooling, so decode→pool→compare must
+    //    recover the exact 64-bit value — adversarial values included
+    val vals = Seq(0L, -1L, Long.MinValue, Long.MaxValue, 0x5555555555555555L,
+      0xAAAAAAAAAAAAAAAAL, 1L, 1L << 63, 0xDEADBEEFCAFEBABEL) ++
+      (0 until 50).map(i => new scala.util.Random(i).nextLong())
+    vals.foreach { h =>
+      assert(ImageDhashExpr.dhash(PngFromBitsExpr.encode(h)) === Some(h),
+        s"round trip broke for ${h.toHexString}")
+    }
+    // 2) pooling ground truth on NON-trivial sizes: independent test-side
+    //    reimplementation (luma raster first, then rectangle sums) over
+    //    the deterministic PngEncodeExpr fixtures
+    def refDhash(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val w = img.getWidth; val h = img.getHeight
+      val luma = Array.tabulate(h, w) { (y, x) =>
+        val p = img.getRGB(x, y)
+        (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L
+      }
+      val cell = Array.tabulate(8, 9) { (r, c) =>
+        val ys = (r * h / 8) until ((r + 1) * h / 8)
+        val xs = (c * w / 9) until ((c + 1) * w / 9)
+        ys.map(y => xs.map(x => luma(y)(x)).sum).sum / (ys.size.toLong * xs.size)
+      }
+      (0 until 64).foldLeft(0L) { (acc, i) =>
+        if (cell(i / 8)(i % 8 + 1) > cell(i / 8)(i % 8)) acc | (1L << i) else acc
+      }
+    }
+    for ((w, h) <- Seq((9, 8), (64, 48), (100, 80), (33, 17), (9, 100), (640, 8))) {
+      val png = PngEncodeExpr.encode(w, h)
+      assert(ImageDhashExpr.dhash(png) === Some(refDhash(png)),
+        s"pooling diverged from reference at ${w}x$h")
+    }
+    // 3) undecodable / too-small / bomb-header payloads → None, never throw
+    assert(ImageDhashExpr.dhash("not a png".getBytes) === None)
+    assert(ImageDhashExpr.dhash(Array.emptyByteArray) === None)
+    assert(ImageDhashExpr.dhash(null) === None)
+    assert(ImageDhashExpr.dhash(PngEncodeExpr.encode(8, 8)) === None) // w < 9
+    assert(ImageDhashExpr.dhash(PngEncodeExpr.encode(9, 7)) === None) // h < 8
+  }
+
+  test("imageNearDup: banded recall EXACT vs brute hamming on real PNGs; nulls drop") {
+    val s = sc
+    import s.implicits._
+    import pipeline.expr.ImageExprs
+    // fixture: clustered target hashes (the q_dedup_image construction)
+    // rendered to REAL PNGs, plus undecodable rows that must not pair
+    val targets = (0L until 120L).map { id =>
+      val g = id % 15; val v = id / 15
+      val base = (0 until 8).map(j =>
+        ((g * 11 + j * 17 + 7) % (if (j == 7) 128 else 256)) << (j * 8)).reduce(_ | _)
+      val flip = (0 until 3).map(k =>
+        if (v > k) 1L << ((v * 9 + k * 13) % 63).toInt else 0L).reduce(_ ^ _)
+      id -> (base ^ flip)
+    }
+    val imgs = targets.toDF("id", "h")
+      .select(col("id"), ImageExprs.pngFromDhash(col("h")).as("img"))
+      .unionByName(Seq((900L, "corrupt".getBytes), (901L, Array.emptyByteArray))
+        .toDF("id", "img"))
+    val got = Dedup.imageNearDup(imgs, "id", "img", bands = 8, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val truth = (for {
+      (a, ha) <- targets; (b, hb) <- targets if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(truth.nonEmpty, "fixture must contain hamming<=3 pairs")
+    assert(got == truth, s"image banded recall must be exact: missing ${
+      (truth.keySet -- got.keySet).take(3)}, extra ${(got.keySet -- truth.keySet).take(3)}")
+    assert(!got.keySet.exists(p => p._1 >= 900L || p._2 >= 900L),
+      "undecodable images must generate no pairs")
+    // bands=1 over the full 64 bits: the degenerate single-band probe is
+    // hamming-0 only (mask wrap guard) — every emitted pair is exact-equal
+    val single = Dedup.imageNearDup(imgs, "id", "img", bands = 1, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(single == truth.filter(_._2 == 0))
+  }
+
   test("ngramJaccard scores exact duplicates at 1.0 and respects threshold") {
     val d = docs(1500)
     val j = Dedup.ngramJaccard(d, "id", "text", 3, 0.5)
