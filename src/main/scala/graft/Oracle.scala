@@ -619,6 +619,47 @@ object Oracle {
         |FROM g""".stripMargin
     },
 
+    "q_grok_multiline" ->
+      // relational reformulation of the multiline joiner: mark headers by
+      // the SAME continuation rule (indent / Caused by / "... N more"),
+      // rec_id = running header count per source, record text = ordered
+      // string_agg; then the header fields + frame count re-derive from
+      // the joined text (anchored regexes — RE2's ^ is whole-string here)
+      """WITH lines AS (
+        |  SELECT 'app-' || CAST(doc_id % 5 AS VARCHAR) AS source,
+        |    doc_id * 10 + t.i AS off,
+        |    CASE WHEN t.i = 0
+        |      THEN printf('com.example.Err%d: boom %d', doc_id % 7, doc_id)
+        |      ELSE chr(9) || printf('at com.example.Svc%d.call(Svc.java:%d)',
+        |        t.i, doc_id + t.i)
+        |    END AS line
+        |  FROM documents, range(0, 4) t(i)
+        |  WHERE doc_id < 300 AND t.i < 1 + doc_id % 4
+        |), marked AS (
+        |  SELECT source, off, line,
+        |    NOT (regexp_matches(line, '^[ \t]') OR line LIKE 'Caused by: %'
+        |      OR regexp_matches(line, '^\.\.\. [0-9]+ more')) AS hdr
+        |  FROM lines
+        |), numbered AS (
+        |  SELECT source, off, line, hdr,
+        |    SUM(CASE WHEN hdr THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY source ORDER BY off) AS rec_id
+        |  FROM marked
+        |), recs AS (
+        |  SELECT source, CAST(rec_id AS BIGINT) AS rec_id,
+        |    MIN(off) AS first_offset, COUNT(*) AS n_lines,
+        |    bool_or(hdr) AS has_header,
+        |    string_agg(line, chr(10) ORDER BY off) AS rec_text
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT source, rec_id, first_offset, n_lines, has_header, rec_text,
+        |  regexp_extract(rec_text,
+        |    '^((?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)+[a-zA-Z$_][a-zA-Z$_0-9]*)', 1)
+        |    AS jt_exception,
+        |  regexp_extract(rec_text, '^[^\n:]+:[ ]+([^\n]*)', 1) AS jt_message,
+        |  CAST(length(list_filter(string_split(rec_text, chr(10)),
+        |    l -> regexp_matches(l, '^[ \t]*at '))) AS INTEGER) AS n_frames
+        |FROM recs""".stripMargin,
+
     "q_grok_postgres" -> {
       // fields in group order: 1 ts, 2 tz, 3 pid, 4 user, 5 db, 6 level,
       // 7 message. user/db nil on doc_id%3==0 → DuckDB '' → nullif

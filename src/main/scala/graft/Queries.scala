@@ -549,6 +549,36 @@ object Queries {
   /** Grok classic composition #5: `%{POSTGRESQLLOG}` — the database server
     * log family (stock log_line_prefix), with the optional user@db prefix
     * exercising nil-group parity on both engines. */
+  /** Multiline joiner (stages.Multiline) + grok over the JOINED records:
+    * each doc synthesizes a throwable split line-per-row (header + 0–3
+    * indented frames, the Java-family single-line delivery), the joiner
+    * reassembles records by the continuation rule, and JAVATHROWABLE +
+    * a frame count parse the reassembled text. The oracle reformulates
+    * the join relationally (running header count + ordered string_agg). */
+  def qGrokMultiline(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = pmod(col("doc_id"), lit(4L))
+    val lines = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(
+        concat(lit("app-"), pmod(col("doc_id"), lit(5L))).as("src"),
+        col("doc_id"),
+        posexplode(concat(
+          array(format_string("com.example.Err%d: boom %d",
+            pmod(col("doc_id"), lit(7L)), col("doc_id"))),
+          slice(transform(sequence(lit(1), lit(3)),
+            i => format_string("\tat com.example.Svc%s.call(Svc.java:%s)",
+              i, col("doc_id") + i)),
+            lit(1), nFrames.cast("int")))).as(Seq("idx", "line")))
+      .select(col("src"), (col("doc_id") * 10 + col("idx")).as("off"), col("line"))
+    val recs = pipeline.stages.Multiline.joinLines(lines, "src", "off", "line")
+    val g = pipeline.expr.Grok.extract(col("rec_text"), "%{JAVATHROWABLE}")
+    recs.select(col("source"), col("rec_id"), col("first_offset"),
+      col("n_lines"), col("has_header"), col("rec_text"),
+      g.getField("jt_exception").as("jt_exception"),
+      g.getField("jt_message").as("jt_message"),
+      size(filter(split(col("rec_text"), "\n"),
+        l => l.rlike("^[ \\t]*at "))).as("n_frames"))
+  }
+
   def qGrokPostgres(s: SparkSession, dir: String): DataFrame = {
     val g = pipeline.expr.Grok.extract(postgresLine, "%{POSTGRESQLLOG}")
     t(s, dir, "documents").select(

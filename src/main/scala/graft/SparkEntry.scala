@@ -55,6 +55,7 @@ object SparkEntry {
     "q_grok_syslog5424" -> (Queries.qGrokSyslog5424 _),
     "q_grok_haproxy" -> (Queries.qGrokHaproxy _),
     "q_grok_postgres" -> (Queries.qGrokPostgres _),
+    "q_grok_multiline" -> (Queries.qGrokMultiline _),
     "q_journald_fields" -> (Queries.qJournaldFields _),
     "q_lang_id" -> (Queries.qLangId _),
     "q_quality" -> (Queries.qQuality _),

@@ -174,3 +174,70 @@ object Aggregate {
         sum(when(col("is_corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
         approx_count_distinct(col("host")).as("approx_hosts"))
 }
+
+/**
+ * Multi-line record joiner — the batch answer to the Java-family grok
+ * contract (pipeline.expr.Grok "SINGLE-LINE CONTRACT"): line-oriented
+ * sources deliver a multi-line throwable as its header row plus one row
+ * per frame; this operator re-associates them by the prefix rule before
+ * grok runs, so `JAVATHROWABLE` + `JAVASTACKTRACEPART` see whole records.
+ *
+ * Semantics (the classic logstash/filebeat `multiline` pattern, expressed
+ * relationally): within a source, lines sort by their offset; a line
+ * matching the CONTINUATION predicate glues to the most recent
+ * non-continuation line (the record header) above it. Record identity is
+ * therefore a running count of headers — `sum(is_header) over (partition
+ * by source order by offset)` — and the record body is the
+ * offset-ordered join of its lines. Leading continuations with no header
+ * (rec_id 0 — a tail-truncated stream start) still emit as a record with
+ * `has_header = false`: never-vanish, the deadletter contract.
+ *
+ * Scale shape: ONE shuffle on the source key; the window and the
+ * array_agg ride the same partitioning (plan-guard: a single Exchange).
+ * Within a source, ordering is a sort, not a collect — but a source IS a
+ * sequential log, so per-source order is inherent to the semantics; at
+ * 100 TB the parallelism unit is the (many) sources, exactly like the
+ * reference tailing N files. Streaming twin would need a stateful
+ * session (frames can cross micro-batches) — deliberately batch-only,
+ * like the dedup_near transform.
+ */
+object Multiline {
+
+  /** Java-throwable continuation rule: indented lines (`\tat frame`,
+    * indented messages), `Caused by:` chains, and the `... N more`
+    * elision — everything that belongs to the record above it. */
+  def javaContinuation(line: Column): Column =
+    line.rlike("^[ \\t]") || line.startsWith("Caused by: ") ||
+      line.rlike("^\\.\\.\\. [0-9]+ more")
+
+  /**
+   * Join continuation lines into records: (sourceCol, orderCol, lineCol) →
+   * one row per record with (source, rec_id, first_offset, n_lines,
+   * has_header, rec_text). `rec_text` joins the lines with '\n' in offset
+   * order. Extra columns are dropped (records aggregate many lines; pick
+   * header-line attributes downstream by re-grokking rec_text's first
+   * line, which is by construction the header when has_header).
+   */
+  def joinLines(df: DataFrame, sourceCol: String, orderCol: String,
+                lineCol: String,
+                continuation: Column => Column = javaContinuation): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("_off")
+    df.select(col(sourceCol).as("source"), col(orderCol).as("_off"),
+        col(lineCol).as("_line"))
+      .withColumn("_hdr", !continuation(col("_line")))
+      .withColumn("rec_id",
+        sum(when(col("_hdr"), 1L).otherwise(0L)).over(w))
+      .groupBy(col("source"), col("rec_id"))
+      // array_agg of (offset, line) structs + array_sort: struct ordering
+      // is lexicographic on (offset, …), so the join is offset-ordered
+      // without a second window pass
+      .agg(
+        min(col("_off")).as("first_offset"),
+        count(lit(1)).as("n_lines"),
+        max(col("_hdr")).as("has_header"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_off"), col("_line")))),
+          s => s.getField("_line")), "\n").as("rec_text"))
+  }
+}

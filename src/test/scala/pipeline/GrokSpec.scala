@@ -194,6 +194,62 @@ class GrokSpec extends AnyFunSuite {
     assert(lo.getString(3) == "com.example.App" && lo.getString(4) == "slow query")
   }
 
+  test("multiline joiner: full throwable reconstructed from split lines, order-free") {
+    val s = sc
+    import s.implicits._
+    // a real multi-line throwable as a line-oriented source delivers it:
+    // one row per line, order encoded in the offset (not row order)
+    val rec1 = Seq(
+      "Exception in thread \"main\" com.app.UpstreamException: timeout calling billing",
+      "\tat com.app.Client.call(Client.java:42)",
+      "\tat com.app.Service.handle(Service.java:17)",
+      "Caused by: java.net.SocketTimeoutException: read timed out",
+      "\tat java.base.sun.nio.ch.NioSocketImpl.timedRead(NioSocketImpl.java:288)",
+      "... 2 more")
+    val rec2 = Seq(
+      "2026-01-02T03:04:05 [main] ERROR com.app.Service - request failed",
+      "  details: order=7 attempt=2")
+    val rec3 = Seq("plain single-line event")
+    // source B starts MID-throwable (tail-truncated stream): leading
+    // continuations have no header yet must not vanish
+    val orphan = Seq(
+      "\tat com.app.Worker.run(Worker.java:9)",
+      "... 5 more")
+    val allLines =
+      (rec1 ++ rec2 ++ rec3).zipWithIndex.map { case (l, i) => ("A", i.toLong, l) } ++
+        (orphan ++ rec1).zipWithIndex.map { case (l, i) => ("B", i.toLong, l) }
+    // shuffle the input rows: the joiner must order by offset, not arrival
+    val shuffled = new scala.util.Random(7).shuffle(allLines)
+    val recs = pipeline.stages.Multiline.joinLines(
+      shuffled.toDF("src", "off", "line"), "src", "off", "line")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5))).toMap
+    assert(recs.size == 5, s"expected 5 records, got ${recs.keySet}")
+    assert(recs(("A", 1L)) == (0L, 6L, true, rec1.mkString("\n")))
+    assert(recs(("A", 2L)) == (6L, 2L, true, rec2.mkString("\n")))
+    assert(recs(("A", 3L)) == (8L, 1L, true, rec3.mkString("\n")))
+    // the orphan record: rec_id 0, no header, still emitted (never-vanish)
+    assert(recs(("B", 0L)) == (0L, 2L, false, orphan.mkString("\n")))
+    assert(recs(("B", 1L)) == (2L, 6L, true, rec1.mkString("\n")))
+    // grok over the REJOINED record: every frame line parses as a
+    // JAVASTACKTRACEPART with class/method/file/line typed out
+    val frames = recs(("A", 1L))._4.split("\n").filter(_.startsWith("\tat "))
+      .toSeq.toDF("line")
+      .select(Grok.extract(col("line"), "%{JAVASTACKTRACEPART}").as("g"))
+      .collect().map(_.getStruct(0))
+    assert(frames.length == 3 && frames.forall(_ != null))
+    assert(frames.head.getString(0) == "com.app.Client" &&
+      frames.head.getString(1) == "call" &&
+      frames.head.getString(2) == "Client.java" &&
+      frames.head.getInt(3) == 42)
+    // and the Caused-by chain line parses as a JAVATHROWABLE
+    val caused = Seq(recs(("A", 1L))._4.split("\n")(3)).toDF("line")
+      .select(Grok.extract(col("line"), "%{JAVATHROWABLE}").as("g"))
+      .collect()(0).getStruct(0)
+    assert(caused.getString(0) == "java.net.SocketTimeoutException" &&
+      caused.getString(1) == "read timed out")
+  }
+
   test("SQL surface graft_grok == Column API; config grok wiring") {
     val s = sc
     import s.implicits._
