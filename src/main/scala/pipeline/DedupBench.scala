@@ -134,6 +134,74 @@ object DedupBench {
       return
     }
 
+    // --mode cc: connected-components scale drill — the closure is the one
+    // flagship op whose per-round localCheckpoint + driver-side convergence
+    // never ran past driver-bench scale. Adversarial component mix at N
+    // nodes (~N edges):
+    //   giant — nodes [0, 0.3N): each i attaches to a pseudo-random earlier
+    //           node (random recursive tree, O(log N) diameter) — stresses
+    //           the min-label fan-IN (0.3N nodes converge onto comp 0);
+    //   chains — the remaining 0.7N nodes in paths of --chainLen (default
+    //           10k) — stresses ROUND COUNT (pointer jumping must close a
+    //           10k-diameter path in ~log2 rounds, not 10k).
+    // Reports wall, rounds, and per-round max single-task time: a skew
+    // broken round shows max_task ≈ its wall share; healthy rounds stay
+    // flat as the frontier shrinks.
+    if (conf.get("--mode").contains("cc")) {
+      val giant = n * 3 / 10
+      val chainLen = conf.getOrElse("--chainLen", "10000").toLong
+      val input = s"/tmp/graft-cc-$n-$chainLen"
+      val pairs = materialized(input) {
+        val giantEdges = spark.range(1, giant).select(col("id").as("a"),
+          pmod(xxhash64(col("id")), col("id")).as("b"))
+        val chainEdges = spark.range(giant, n)
+          .filter(pmod(col("id") - giant, lit(chainLen)) =!= 0)
+          .select(col("id").as("a"), (col("id") - 1).as("b"))
+        giantEdges.unionByName(chainEdges).repartition(64)
+      }
+      // diagnostic knobs (the 1M drill showed rounds driver-bound, CPU
+      // ~80% idle): AQE per-stage coordination and driver-built broadcast
+      // hash relations are the suspects — both toggleable to attribute
+      conf.get("--aqe").foreach(v =>
+        spark.conf.set("spark.sql.adaptive.enabled", v))
+      conf.get("--broadcast").foreach(v =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          if (v == "off") "-1" else v))
+      val nEdges = pairs.count() // warm + the real edge count
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskInfo != null)
+            maxTask.getAndUpdate(m => math.max(m, e.taskInfo.duration))
+      })
+      val roundStats = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+      var lastT = System.nanoTime()
+      val t0 = lastT
+      val cc = Dedup.connectedComponents(pairs, "a", "b", maxIter = 25,
+        onRound = { it =>
+          val now = System.nanoTime()
+          Thread.sleep(200) // listener bus drains asynchronously
+          roundStats += ((it, (now - lastT) / 1e9, maxTask.get() / 1e3))
+          maxTask.set(0L)
+          lastT = System.nanoTime()
+        })
+      // correctness gate on the drill itself: exactly 1 giant component of
+      // 0.3N nodes + ceil(0.7N/chainLen) chain components
+      val sizes = cc.groupBy("comp").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)), max(col("c"))).head()
+      val sec = (System.nanoTime() - t0) / 1e9 - 0.2 * roundStats.size
+      val nChains = (n - giant + chainLen - 1) / chainLen
+      require(sizes.getLong(0) == 1 + nChains && sizes.getLong(1) == giant,
+        s"cc drill wrong: ${sizes.getLong(0)} comps (want ${1 + nChains}), " +
+          s"giant ${sizes.getLong(1)} (want $giant)")
+      val perRound = roundStats.map { case (it, w, mt) =>
+        f"""{"round":$it,"sec":$w%.2f,"max_task_sec":$mt%.2f}"""
+      }.mkString("[", ",", "]")
+      println(f"""{"bench":"cc","nodes":$n,"edges":$nEdges,"giant":$giant,"chain_len":$chainLen,"rounds":${roundStats.size},"sec":$sec%.2f,"nodes_per_sec":${(n / sec).toLong},"per_round":$perRound}""")
+      spark.stop()
+      return
+    }
+
     // --mode streamnear: streaming approximate near-dup throughput — the
     // NearDedup stateful band-owner pass + per-micro-batch finalize over a
     // landing directory, sink writes excluded (the write path is the

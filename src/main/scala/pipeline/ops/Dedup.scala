@@ -313,7 +313,37 @@ object Dedup {
    * Returns (node, component).
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          onRound: Int => Unit = _ => ()): DataFrame = {
+    // Adaptive planning is DISABLED for the iteration (restored after):
+    // measured at the 1M-node drill (DedupBench --mode cc, BASELINE.md
+    // round 6), AQE made the closure 4–5× slower — its runtime stats see
+    // the ≲25 MB label map and flip the per-round shuffle joins into
+    // driver-built broadcasts (a single-threaded 1M-row HashedRelation
+    // build, twice per round: 305–410 s wall, CPU ~80% idle), and its
+    // per-stage coordination adds a driver round-trip to every one of the
+    // ~3 jobs × rounds. Neither can help here: label rows are fixed-width
+    // ids (no skew, nothing to coalesce), and at the target scale the
+    // label map is never broadcastable anyway — the shuffle join IS the
+    // scale-correct plan. With both off the per-round cost drops to the
+    // scheduling floor (73 s → 13.7k nodes/s at 1M nodes / 32 cores).
+    // Session-scoped confs, so concurrent queries on this session during
+    // the loop see them too — acceptable for a batch backfill operator.
+    val sess = pairs.sparkSession
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = sess.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try connectedComponentsLoop(pairs, aCol, bCol, maxIter, onRound)
+    finally {
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, aCol: String, bCol: String,
+                                      maxIter: Int,
+                                      onRound: Int => Unit): DataFrame = {
     // symmetric closure in ONE pass over `pairs`: the union-of-two-selects
     // form evaluates the (often expensive — LSH + exact-verify) pair
     // pipeline once per branch; exploding both directions from a single
@@ -348,9 +378,15 @@ object Dedup {
         .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("comp")).as("ncomp"))
+      // materialized ONCE per round: the pointer jump below reads this
+      // frame on BOTH join sides, and as a bare plan each side would
+      // recompute the whole edges⋈frontier⋈labels propagation — measured
+      // at the 1M-node CC drill as ~2× the round cost (the r6 fix; the
+      // per-round wall dropped accordingly, BASELINE.md "CC drill")
       val propagated = labels.join(viaNeighbors, Seq("node"), "left")
         .select(col("node"), col("comp").as("old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
       // (2) pointer jumping: comp := comp(comp) — halves the remaining path
       // length every iteration, so a diameter-D chain converges in
       // O(log D) rounds instead of O(D). The jump reads the FULL current
@@ -371,6 +407,9 @@ object Dedup {
       frontier = next.filter(col("chg")).select("node", "comp")
       converged = frontier.isEmpty
       iter += 1
+      // observation hook (bench/drill instrumentation): called once per
+      // completed round, AFTER this round's jobs — a no-op by default
+      onRound(iter)
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
     labels

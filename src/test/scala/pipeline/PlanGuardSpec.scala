@@ -57,6 +57,38 @@ class PlanGuardSpec extends AnyFunSuite {
       s"day predicate not pushed as warc_ts range:\n$scan")
   }
 
+  test("multiline joiner: one shuffle (window and agg share the source partitioning)") {
+    val s = sc
+    val dir = java.nio.file.Files.createTempDirectory("ml-plan").toString
+    Webtext.df(s, 500, 4)
+      .select(col("host").as("src"), xxhash64(col("url")).as("off"),
+        col("text").as("line"))
+      .write.mode("overwrite").parquet(dir)
+    val df = stages.Multiline.joinLines(s.read.parquet(dir), "src", "off", "line")
+    df.collect()
+    val plan = finalPlan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"joinLines must shuffle once on the source key (got $shuffles):\n$plan")
+  }
+
+  test("imageNearDup: the (expensive) decode+dhash runs exactly once per row") {
+    val s = sc
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("img-plan").toString
+    (0L until 200L).map(i => (i, i * 977L)).toDF("id", "h")
+      .select(col("id"), pipeline.expr.ImageExprs.pngFromDhash(col("h")).as("img"))
+      .write.mode("overwrite").parquet(dir)
+    val df = pipeline.ops.Dedup.imageNearDup(s.read.parquet(dir), "id", "img")
+    df.collect() // finalize the adaptive plan so ReusedExchange materializes
+    val plan = finalPlan(df)
+    val evals = "imagedhashexpr".r.findAllIn(plan.toLowerCase).size
+    assert(evals == 1, s"dhash computed $evals times (want 1):\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      plan.contains("TableCacheQueryStage"),
+      s"self-join sides must share the signature exchange:\n$plan")
+  }
+
   test("minhash LSH computes the signature exactly once (ReusedExchange)") {
     val s = sc
     val dir = java.nio.file.Files.createTempDirectory("mh-plan").toString
