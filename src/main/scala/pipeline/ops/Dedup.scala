@@ -200,9 +200,12 @@ object Dedup {
   def imageNearDup(df: DataFrame, idCol: String, bytesCol: String,
                    bands: Int = 8, maxHamming: Int = 3,
                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // NO isNotNull filter here: it would be predicate-pushed below the
+    // projection and re-run the decode per row (the minhashLsh hazard,
+    // plan-guard-caught on this very operator); null hashes instead drop
+    // STRUCTURALLY in hammingBandPairs' null-gated band explode
     val sig = df.select(col(idCol).as("id"),
       pipeline.expr.ImageExprs.dhash(col(bytesCol)).as("sh"))
-      .filter(col("sh").isNotNull)
     hammingBandPairs(sig, 64, bands, maxHamming, maxBucketSize)
   }
 
@@ -230,10 +233,15 @@ object Dedup {
     // signature, mask −1
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val sig = sigFrame.repartition(col("id"))
+    // null signatures (undecodable image, null text) drop STRUCTURALLY:
+    // the band array is null for them and posexplode generates zero rows —
+    // an isNotNull filter would be pushed below the exchange and
+    // re-evaluate the (possibly expensive) signature per row
     val banded = sig.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("sh"), b * bandBits)
-          .bitwiseAND(lit(mask)))).as(Seq("band", "bkey")))
+      posexplode(when(col("sh").isNotNull,
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftright", col("sh"), b * bandBits)
+            .bitwiseAND(lit(mask))))).as(Seq("band", "bkey")))
     val eligible =
       if (maxBucketSize == Int.MaxValue) banded
       else banded.join(
@@ -249,7 +257,14 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b", "sha", "shb").distinct()
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int"))
-      .filter(col("hamming") <= maxHamming)
+      // null-TOLERANT verify (same rows: null hamming cannot pass either
+      // form). A bare `hamming <= maxHamming` is null-intolerant, so
+      // constraint inference derives isnotnull(sh) from it and PUSHES the
+      // re-derived `isnotnull(<sig expr>)` below the barrier to the scan —
+      // re-running the possibly-expensive signature (image decode!) once
+      // more per row in a filter. coalesce blocks the inference chain;
+      // plan-guarded on imageNearDup (decode-once).
+      .filter(coalesce(col("hamming") <= maxHamming, lit(false)))
       .select("a", "b", "hamming")
   }
 

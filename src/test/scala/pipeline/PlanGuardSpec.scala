@@ -61,7 +61,7 @@ class PlanGuardSpec extends AnyFunSuite {
     val s = sc
     val dir = java.nio.file.Files.createTempDirectory("ml-plan").toString
     Webtext.df(s, 500, 4)
-      .select(col("host").as("src"), xxhash64(col("url")).as("off"),
+      .select(col("lang").as("src"), xxhash64(col("url")).as("off"),
         col("text").as("line"))
       .write.mode("overwrite").parquet(dir)
     val df = stages.Multiline.joinLines(s.read.parquet(dir), "src", "off", "line")
@@ -76,11 +76,27 @@ class PlanGuardSpec extends AnyFunSuite {
     val s = sc
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("img-plan").toString
-    (0L until 200L).map(i => (i, i * 977L)).toDF("id", "h")
+    // clustered hashes (low-bit variants of shared bases) so the probe
+    // emits pairs — an empty result collapses to EmptyRelation under AQE
+    // and the rendered plan stops meaning anything
+    (0L until 200L).map(i => (i, (i % 40) * 1024L + (i % 3)))
+      .toDF("id", "h")
       .select(col("id"), pipeline.expr.ImageExprs.pngFromDhash(col("h")).as("img"))
       .write.mode("overwrite").parquet(dir)
-    val df = pipeline.ops.Dedup.imageNearDup(s.read.parquet(dir), "id", "img")
-    df.collect() // finalize the adaptive plan so ReusedExchange materializes
+    // broadcast pinned off for the guard: at fixture size AQE flips the
+    // band self-join to broadcast, whose rendering re-prints the build
+    // side's subtree (the expression still evaluates once below the
+    // barrier, but the string count stops meaning anything); the shuffle
+    // join is the at-scale plan this guard is about, same as the minhash
+    // guard's shape
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df =
+      try {
+        val d = pipeline.ops.Dedup.imageNearDup(s.read.parquet(dir), "id", "img")
+        assert(d.collect().nonEmpty) // finalize the adaptive plan; non-empty
+        d
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     val plan = finalPlan(df)
     val evals = "imagedhashexpr".r.findAllIn(plan.toLowerCase).size
     assert(evals == 1, s"dhash computed $evals times (want 1):\n$plan")
