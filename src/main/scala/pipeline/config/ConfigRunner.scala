@@ -73,9 +73,34 @@ object ConfigRunner {
       case other =>
         throw new IllegalArgumentException(s"unknown source type '$other' (source '${src.id}')")
     }
+    // multiline record joining BEFORE grok (our extension, the filebeat
+    // `multiline` UX): continuation lines rejoin their header so the grok
+    // below sees whole records (the Java throwable family's contract).
+    // Batch-only — the window needs the full per-source history (frames
+    // cross micro-batches); refuse streaming frames config-shaped, the
+    // dedup_near precedent.
+    val lineShaped = Set("file", "scanner", "stdin", "nginx_syslog", "syslog")
+    val joined =
+      if (!src.multiline.getOrElse(false)) docs
+      else if (!lineShaped.contains(src.kind))
+        throw new IllegalArgumentException(
+          s"source '${src.id}': multiline joining applies to line-shaped " +
+            s"sources (${lineShaped.toSeq.sorted.mkString(", ")}); a " +
+            s"'${src.kind}' source carries per-record columns (entries/" +
+            "metadata) that cannot survive a record merge")
+      else if (docs.isStreaming)
+        throw new IllegalArgumentException(
+          s"source '${src.id}': multiline joining needs the full per-source " +
+            "line history and cannot run on a streaming source (a record's " +
+            "continuation lines can cross micro-batches); run this source " +
+            "in batch mode")
+      else pipeline.stages.Multiline.joinDocs(docs,
+        src.multilineContinuation
+          .map(re => (l: org.apache.spark.sql.Column) => l.rlike(re))
+          .getOrElse(pipeline.stages.Multiline.javaContinuation))
     // normalizer plugin point: an optional per-source grok pattern extracts
     // a typed struct from the payload in one pass (SURVEY.md §7.4)
-    val grokked = src.grok.foldLeft(docs)((d, pat) =>
+    val grokked = src.grok.foldLeft(joined)((d, pat) =>
       d.withColumn("grok", pipeline.expr.Grok.extract(col("text"), pat)))
     grokked.withColumn("source", lit(src.id))
   }

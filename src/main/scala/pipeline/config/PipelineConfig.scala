@@ -34,7 +34,13 @@ final case class SourceSpec(
     topic: Option[String] = None,
     broker: Option[String] = None,
     qos: Option[Int] = None,
-    retained: Option[Boolean] = None)
+    retained: Option[Boolean] = None,
+    // multiline record joining (our extension, the filebeat/logstash
+    // `multiline` UX): true = continuation lines (indent / "Caused by:" /
+    // "... N more", or a custom regex) rejoin their header line before
+    // grok runs — stages.Multiline.joinDocs. Batch sources only.
+    multiline: Option[Boolean] = None,
+    multilineContinuation: Option[String] = None)
 
 final case class SinkSpec(
     id: String,
@@ -137,7 +143,18 @@ object PipelineConfig {
         topic = str(n, "topic"),
         broker = str(n, "broker"),
         qos = int(n, "qos"),
-        retained = bool(n, "retained"))
+        retained = bool(n, "retained"),
+        multiline = bool(n, "multiline"),
+        multilineContinuation = str(n, "multilineContinuation").map { re =>
+          // compile-time validation: a bad regex must fail config-shaped
+          // at load, not deep inside a Catalyst rlike at runtime
+          try { java.util.regex.Pattern.compile(re); re }
+          catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              throw new IllegalArgumentException(
+                s"source '$id': multilineContinuation is not a valid regex: ${e.getMessage}")
+          }
+        })
     }
     val sinks = entries(root.get("destinations")).map { case (id, n) =>
       // s3b nests its s3 block (`examples/journald_to_s3batch_config.json:13-19`)
@@ -250,6 +267,8 @@ object PipelineConfig {
       s.broker.foreach(n.put("broker", _))
       s.qos.foreach(n.put("qos", _))
       s.retained.foreach(n.put("retained", _))
+      s.multiline.foreach(n.put("multiline", _))
+      s.multilineContinuation.foreach(n.put("multilineContinuation", _))
     }
     val dsts = root.putObject("destinations")
     spec.sinks.foreach { d =>

@@ -218,6 +218,42 @@ object Multiline {
    * header-line attributes downstream by re-grokking rec_text's first
    * line, which is by construction the header when has_header).
    */
+  /**
+   * Doc-shaped form (the config-surface `multiline: true` source option,
+   * ConfigRunner.fromSource): joins line-per-event docs back into
+   * record-per-event docs IN the doc shape, so the rest of the chain
+   * (grok, parse, route) is untouched. Stream identity = `url` (the
+   * shipper's file/unit key), line order = `warc_ts` (ties broken by
+   * (lang, text) — deterministic). The joined record keeps its FIRST
+   * line's event time and lang; html stays null (line protocols carry no
+   * binary). Rows that cannot join — null url or null warc_ts (the
+   * undecodable-line deadletter path) — BYPASS unchanged rather than
+   * conflating into one null-key record: never-vanish.
+   *
+   * Batch-only, like the dedup_near transform: the window needs the full
+   * per-source history (a throwable's frames can cross micro-batches);
+   * ConfigRunner refuses streaming frames config-shaped.
+   */
+  def joinDocs(docs: DataFrame,
+               continuation: Column => Column = javaContinuation): DataFrame = {
+    val can = col("url").isNotNull && col("warc_ts").isNotNull
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy("warc_ts", "lang", "text")
+    val joined = docs.filter(can)
+      .withColumn("_hdr", !continuation(col("text")))
+      .withColumn("_rec", sum(when(col("_hdr"), 1L).otherwise(0L)).over(w))
+      .groupBy(col("url"), col("_rec"))
+      .agg(array_sort(collect_list(
+        struct(col("warc_ts"), col("lang"), col("text")))).as("_ls"))
+      .select(col("url"),
+        element_at(col("_ls"), 1).getField("warc_ts").as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        array_join(transform(col("_ls"), s => s.getField("text")), "\n").as("text"),
+        element_at(col("_ls"), 1).getField("lang").as("lang"))
+    joined.unionByName(
+      docs.filter(!can).select("url", "warc_ts", "html", "text", "lang"))
+  }
+
   def joinLines(df: DataFrame, sourceCol: String, orderCol: String,
                 lineCol: String,
                 continuation: Column => Column = javaContinuation): DataFrame = {

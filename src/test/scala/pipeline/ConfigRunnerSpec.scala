@@ -632,6 +632,105 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(ConfigRunner.routed(ok, okInputs).count() > 0)
   }
 
+  test("multiline source option: throwables rejoin before grok; guards reject") {
+    val s = sc
+    import s.implicits._
+    // config surface: hujson file with multiline + grok on a file source
+    val dir = Files.createTempDirectory("graft-ml-cfg")
+    val cfg = dir.resolve("cfg.json")
+    java.nio.file.Files.writeString(cfg,
+      """{
+        |  // applog ships one LINE per event; rejoin before grok
+        |  "sources": {"applog": {"type": "file", "multiline": true,
+        |                         "grok": "%{JAVATHROWABLE}"}},
+        |  "destinations": {"s3": {"type": "s3"}},
+        |}""".stripMargin)
+    val spec = pipeline.config.PipelineConfig.load(cfg.toString)
+    assert(spec.sources.head.multiline.contains(true))
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$i%02d")
+    val lines = Seq(
+      ("app-1", 0, "com.app.Err: boom"),
+      ("app-1", 1, "\tat com.app.A.m(A.java:1)"),
+      ("app-1", 2, "\tat com.app.B.n(B.java:2)"),
+      ("app-1", 3, "com.app.Err2: later"),
+      ("app-2", 0, "\tat orphan.F.g(F.java:3)"), // tail-truncated stream start
+      ("app-2", 1, "com.app.Err3: other"))
+    val docs = lines.toDF("url", "off", "line").select(col("url"),
+      udf((i: Int) => ts(i)).apply(col("off")).as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      col("line").as("text"), lit("en").as("lang"))
+    val routed = ConfigRunner.routed(spec,
+      Map("applog" -> pipeline.sources.LineCodec.encode(docs)))
+    val recs = routed.filter(col("sink") === "s3")
+      .select(col("url"), col("text"), col("grok").getField("jt_exception"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(recs == Set(
+      ("app-1", "com.app.Err: boom\n\tat com.app.A.m(A.java:1)\n\tat com.app.B.n(B.java:2)",
+        "com.app.Err"),
+      ("app-1", "com.app.Err2: later", "com.app.Err2"),
+      // the orphan record survives (never-vanish); its frame line still
+      // groks a class ref, which is fine — it has no header to claim
+      ("app-2", "\tat orphan.F.g(F.java:3)", "orphan.F.g"),
+      ("app-2", "com.app.Err3: other", "com.app.Err3")), s"got $recs")
+    // custom continuation regex ('| ' continuation style)
+    val spec2 = spec.copy(sources = Seq(spec.sources.head.copy(
+      grok = None, multilineContinuation = Some("^\\| "))))
+    val docs2 = Seq(("u", 0, "first"), ("u", 1, "| cont"), ("u", 2, "second"))
+      .toDF("url", "off", "line").select(col("url"),
+        udf((i: Int) => ts(i)).apply(col("off")).as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        col("line").as("text"), lit("en").as("lang"))
+    val recs2 = ConfigRunner.routed(spec2,
+      Map("applog" -> pipeline.sources.LineCodec.encode(docs2)))
+      .filter(col("sink") === "s3").select("text").collect().map(_.getString(0)).toSet
+    assert(recs2 == Set("first\n| cont", "second"))
+    // guards: non-line-shaped source kinds reject config-shaped
+    val eJ = intercept[IllegalArgumentException](ConfigRunner.fromSource(
+      pipeline.config.SourceSpec("j", "journald", multiline = Some(true)),
+      ConfigRunner.fixtureInput(s, pipeline.config.SourceSpec("j", "journald"), 5, 2)))
+    assert(eJ.getMessage.contains("line-shaped"))
+    // streaming frames reject loudly (continuations cross micro-batches)
+    val landing = Files.createTempDirectory("graft-ml-stream")
+    pipeline.sources.LineCodec.encode(docs).write.mode("overwrite")
+      .parquet(landing.toString)
+    val streamRaw = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(landing.toString)
+    val eS = intercept[IllegalArgumentException](ConfigRunner.fromSource(
+      pipeline.config.SourceSpec("applog", "file", multiline = Some(true)), streamRaw))
+    assert(eS.getMessage.contains("streaming"))
+    // a bad continuation regex fails at config LOAD, not at runtime
+    val badCfg = dir.resolve("bad.json")
+    java.nio.file.Files.writeString(badCfg,
+      """{"sources": {"a": {"type": "file", "multiline": true,
+        |               "multilineContinuation": "[unclosed"}},
+        | "destinations": {"s3": {"type": "s3"}}}""".stripMargin)
+    val eR = intercept[IllegalArgumentException](
+      pipeline.config.PipelineConfig.load(badCfg.toString))
+    assert(eR.getMessage.contains("multilineContinuation"))
+  }
+
+  test("examples/multiline_applog_config.json runs end-to-end (golden)") {
+    val s = sc
+    val cfgPath = "examples/multiline_applog_config.json"
+    assert(new java.io.File(cfgPath).exists(), s"missing $cfgPath")
+    val spec = PipelineConfig.load(cfgPath, Map.empty)
+    assert(spec.sources.head.multiline.contains(true) &&
+      spec.sources.head.grok.contains("%{JAVATHROWABLE}"))
+    // fixture lines have unique urls, so each doc is its own record and
+    // the routed per-(source,sink) counts must equal the standard golden
+    // expectation — multiline joining must never change row accounting
+    // on single-line-per-stream input
+    val inputs = spec.sources.map(src =>
+      src.id -> ConfigRunner.fixtureInput(s, src, N, 4)).toMap
+    val routed = ConfigRunner.routed(spec, inputs)
+    val got = Aggregate.sourceSinkCounts(routed).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected(spec).filter(_._2 > 0), s"got=$got")
+  }
+
   test("file source with existing path + extension reads from disk, filtered") {
     val s = sc
     val dir = Files.createTempDirectory("cfg-file-src").toString
