@@ -187,6 +187,47 @@ object Streaming {
   }
 
   /**
+   * Streaming IMAGE near-dup daemon — the multimodal twin of
+   * [[startDocsNearDedup]]: `streaming.NearDedup.imageVerdicts` (dHash
+   * band-owner state with the batch `bit_count(xor)` verify) feeds a
+   * foreachBatch that [[streaming.NearDedup.finalizeImage]]s the keep
+   * decision and lands kept docs (binary payload intact) partitioned by
+   * day, with the same ledger + stream-metrics accounting every other
+   * daemon uses. No parse→route chain here: an image corpus does not run
+   * the html text extractors — curation IS the delivery.
+   */
+  def startImagesNearDedup(docStream: DataFrame, outDir: String,
+                           delayMs: Long = 3600000L, bands: Int = 8,
+                           maxHamming: Int = 3,
+                           trigger: Trigger = Trigger.AvailableNow(),
+                           metricsDir: String = ""): StreamingQuery = {
+    val ledger = new io.Ledger(outDir)
+    val qname = f"neardedup_images_${outDir.hashCode & 0x7fffffff}%08x"
+    val metrics = streaming.StreamMetrics.sinkWriter(
+      if (metricsDir.nonEmpty) metricsDir else outDir, qname)
+    streaming.NearDedup.imageVerdicts(docStream, delayMs, bands, maxHamming)
+      .writeStream
+      .queryName(qname)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[streaming.NearDedup.ImgVerdict], batchId: Long) =>
+          val kept = streaming.NearDedup.finalizeImage(batch.toDF)
+            .withColumn("day", to_date(col("warc_ts")))
+          val obs = org.apache.spark.sql.Observation()
+          val out = kept.observe(obs, count(lit(1)).as("rows"))
+          out.write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(s"$outDir/kept_stream/batch=$batchId")
+          val n = obs.get("rows").asInstanceOf[Long]
+          ledger.commit(s"batch-$batchId", n, Map("kept" -> n))
+          metrics.append(batchId, qname, "sink", "kept", n)
+          ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming PUSH delivery with the reference's exact count/time batch
    * semantics: routed stream → pipeline.streaming.Batcher.eventFlushes
    * (stateful batchSize/flushFreq buffering of the actual payload lines) →

@@ -278,8 +278,12 @@ object ConfigRunner {
     // whatever shape the shipper lands (a streaming file source needs an
     // explicit schema; inferring once at start is the standard tap shape)
     val schema = spark.read.parquet(landing).schema
-    require(schema.fieldNames.contains("warc_ts") && schema.fieldNames.contains("text"),
-      s"--stream landing docs need warc_ts + text columns; found: ${schema.fieldNames.mkString(", ")}")
+    // image-mode dedup fingerprints the binary payload; text mode (and the
+    // plain chain) needs the text column
+    val needCol =
+      if (spec.streamDedupNear.exists(_.mode == "image")) "html" else "text"
+    require(schema.fieldNames.contains("warc_ts") && schema.fieldNames.contains(needCol),
+      s"--stream landing docs need warc_ts + $needCol columns; found: ${schema.fieldNames.mkString(", ")}")
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", conf.getOrElse("--max-files-per-trigger", "4").toInt)
       .parquet(landing)
@@ -301,6 +305,9 @@ object ConfigRunner {
       }
     val rs = rules(spec)
     val q = spec.streamDedupNear match {
+      case Some(nd) if nd.mode == "image" =>
+        pipeline.Streaming.startImagesNearDedup(docs, outDir,
+          delayMs = nd.delayMs, bands = nd.bands, maxHamming = nd.maxHamming)
       case Some(nd) => pipeline.Streaming.startDocsNearDedup(docs, outDir,
         delayMs = nd.delayMs, nGram = nd.nGram, bands = nd.bands,
         rowsPerBand = nd.rowsPerBand, rules = rs)

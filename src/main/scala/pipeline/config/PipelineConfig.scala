@@ -73,12 +73,22 @@ final case class TransformSpec(kind: String, options: Map[String, String] = Map.
   * a separate daemon with its documented approximations
   * (pipeline.streaming.NearDedup). `delayMs` is the watermark horizon —
   * parsed from a duration string ("1h", "30m", "10s", "500ms") so configs
-  * read like the reference's flushFreq values. */
+  * read like the reference's flushFreq values.
+  *
+  * `mode` selects the signature family: "text" (MinHash LSH over word
+  * shingles — nGram/bands/rowsPerBand) or "image" (64-bit dHash of the
+  * binary `html` payload, banded hamming with the exact `bit_count(xor) ≤
+  * maxHamming` verify — bands/maxHamming; compiles to
+  * pipeline.Streaming.startImagesNearDedup). Keys belonging to the other
+  * mode are rejected at load: a text option silently ignored under image
+  * mode would change dedup recall without a trace. */
 final case class StreamNearDedupSpec(
     delayMs: Long = 3600000L,
     nGram: Int = 3,
     bands: Int = 4,
-    rowsPerBand: Int = 4)
+    rowsPerBand: Int = 4,
+    mode: String = "text",
+    maxHamming: Int = 3)
 
 final case class PipelineSpec(
     sources: Seq[SourceSpec],
@@ -202,24 +212,48 @@ object PipelineConfig {
           "streamDedupNear must be an object {delay, nGram, bands, rowsPerBand}")
       // reject unknown keys config-shaped: a typo ("rowPerBand") silently
       // falling back to the default would change dedup recall without a trace
-      val known = Set("delay", "nGram", "bands", "rowsPerBand")
+      val known = Set("delay", "nGram", "bands", "rowsPerBand", "mode", "maxHamming")
       val unknown = n.properties().asScala.map(_.getKey).filterNot(known)
       if (unknown.nonEmpty)
         throw new IllegalArgumentException(
           s"streamDedupNear: unknown key(s) ${unknown.mkString(", ")} " +
             s"(expected: ${known.toSeq.sorted.mkString(", ")})")
+      val mode = str(n, "mode").getOrElse("text")
+      if (mode != "text" && mode != "image")
+        throw new IllegalArgumentException(
+          s"streamDedupNear.mode must be 'text' or 'image', got '$mode'")
+      // cross-mode keys are rejected, not ignored (scaladoc above)
+      val wrongMode =
+        if (mode == "image") Seq("nGram", "rowsPerBand").filter(n.has)
+        else Seq("maxHamming").filter(n.has)
+      if (wrongMode.nonEmpty)
+        throw new IllegalArgumentException(
+          s"streamDedupNear: key(s) ${wrongMode.mkString(", ")} do not apply " +
+            s"to mode '$mode'")
       def pos(field: String, default: Int): Int = {
         val v = int(n, field).getOrElse(default)
         if (v < 1) throw new IllegalArgumentException(
           s"streamDedupNear.$field must be >= 1, got $v")
         v
       }
+      // image bands slice a 64-bit dHash — must divide 64 (the operator's
+      // own require, surfaced config-shaped at load)
+      val bands = pos("bands", if (mode == "image") 8 else 4)
+      if (mode == "image" && 64 % bands != 0)
+        throw new IllegalArgumentException(
+          s"streamDedupNear.bands must divide 64 in image mode, got $bands")
+      val maxHamming = int(n, "maxHamming").getOrElse(3)
+      if (maxHamming < 0)
+        throw new IllegalArgumentException(
+          s"streamDedupNear.maxHamming must be >= 0, got $maxHamming")
       StreamNearDedupSpec(
         delayMs = str(n, "delay").map(parseDuration("streamDedupNear.delay", _))
           .getOrElse(3600000L),
         nGram = pos("nGram", 3),
-        bands = pos("bands", 4),
-        rowsPerBand = pos("rowsPerBand", 4))
+        bands = bands,
+        rowsPerBand = pos("rowsPerBand", 4),
+        mode = mode,
+        maxHamming = maxHamming)
     }
 
     PipelineSpec(sources, sinks, rules, transforms, streamNd)
@@ -301,9 +335,10 @@ object PipelineConfig {
     spec.streamDedupNear.foreach { nd =>
       val n = root.putObject("streamDedupNear")
       n.put("delay", s"${nd.delayMs}ms") // canonical ms form round-trips exactly
-      n.put("nGram", nd.nGram)
+      n.put("mode", nd.mode)
       n.put("bands", nd.bands)
-      n.put("rowsPerBand", nd.rowsPerBand)
+      if (nd.mode == "image") n.put("maxHamming", nd.maxHamming)
+      else { n.put("nGram", nd.nGram); n.put("rowsPerBand", nd.rowsPerBand) }
     }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }

@@ -221,17 +221,30 @@ object Dedup {
    * pair dedup, saving two re-join shuffles. `maxBucketSize` guards the
    * low-entropy quadratic hazard exactly as in [[minhashLsh]].
    */
-  private def hammingBandPairs(sigFrame: DataFrame, bits: Int, bands: Int,
-                               maxHamming: Int, maxBucketSize: Int): DataFrame = {
+  /** Contiguous bit-slice band keys for a ≤64-bit hamming signature:
+    * slice b = `(sh >> b·(bits/bands)) & mask`, as array<long> (position =
+    * band index). The ONE derivation shared by [[hammingBandPairs]] and the
+    * streaming image twin (pipeline.streaming.NearDedup.imageVerdicts) —
+    * their collision structures are identical by construction, the
+    * [[bandKeys]] precedent. NOTE: `sh` is referenced once per band; a
+    * caller whose `sh` is an expensive expression (image decode!) must
+    * evaluate it behind a barrier or a bound lambda variable first. */
+  def hammingBandSlices(sh: Column, bits: Int, bands: Int): Column = {
     require(bits >= 2 && bits <= 64, s"bits must be 2..64, got $bits")
     require(bands >= 1 && bits % bands == 0,
       s"bands must divide bits, got $bands over $bits")
-    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val bandBits = bits / bands
     // bandBits == 64 (bands=1 over a 64-bit sig) would make the mask
     // arithmetic wrap (1L<<64 == 1L); the full-width "band" is the whole
     // signature, mask −1
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => call_function("shiftright", sh, b * bandBits).bitwiseAND(lit(mask)))
+  }
+
+  private def hammingBandPairs(sigFrame: DataFrame, bits: Int, bands: Int,
+                               maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val sig = sigFrame.repartition(col("id"))
     // null signatures (undecodable image, null text) drop STRUCTURALLY:
     // the band array is null for them and posexplode generates zero rows —
@@ -239,9 +252,7 @@ object Dedup {
     // re-evaluate the (possibly expensive) signature per row
     val banded = sig.select(col("id"), col("sh"),
       posexplode(when(col("sh").isNotNull,
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => call_function("shiftright", col("sh"), b * bandBits)
-            .bitwiseAND(lit(mask))))).as(Seq("band", "bkey")))
+        hammingBandSlices(col("sh"), bits, bands))).as(Seq("band", "bkey")))
     val eligible =
       if (maxBucketSize == Int.MaxValue) banded
       else banded.join(

@@ -219,4 +219,190 @@ object NearDedup {
       .select("url", "warc_ts", "text", "lang", "source")
       .unionByName(real)
   }
+
+  // ---------- image twin: streaming dHash near-dup over binary payloads ----
+
+  /** One exploded band claim for the IMAGE stream; the binary payload and
+    * text ride only band 0 (the sentinel band of undecodable images is
+    * also 0 — its bkey is the per-doc "u:" key, so it is that doc's one
+    * payload-carrying row). `sh` is None only on sentinel rows. */
+  final case class ImgBandRow(nid1: Long, nid2: Long, band: Int, bkey: String,
+                              sh: Option[Long],
+                              url: String, warc_ts: java.sql.Timestamp,
+                              html: Array[Byte], text: String, lang: String,
+                              source: String)
+
+  /** Image band-key state: owner's 128-bit node id, the owner's FULL
+    * 64-bit dHash (8 bytes — cheap enough to store, and it buys an EXACT
+    * `bit_count(xor) ≤ maxHamming` verify against the owner, matching the
+    * batch imageNearDup verify instead of the text twin's verify-free band
+    * collision), plus the monotone max claim time. ~32 bytes/entry. */
+  final case class ImgBandState(firstNid1: Long, firstNid2: Long,
+                                sh: Option[Long], maxSeenMs: Long)
+
+  /** Per-band image verdict; band = -1 marks a bypass row (null html or
+    * null event time), always ok. */
+  final case class ImgVerdict(nid1: Long, nid2: Long, band: Int, ok: Boolean,
+                              url: String, warc_ts: java.sql.Timestamp,
+                              html: Array[Byte], text: String, lang: String,
+                              source: String)
+
+  /**
+   * Streaming approximate near-duplicate IMAGE dedup — the dHash twin of
+   * [[verdicts]], and the streaming twin of the batch
+   * `pipeline.ops.Dedup.imageNearDup` pair generator: each image claims
+   * its `bands` contiguous dHash bit-slices (the EXACT batch band
+   * derivation, `Dedup.hammingBandSlices` — shared code, not a copy); a
+   * slice's first claimant owns it, and a later claimant is dropped iff
+   * it collides on ANY band with an owner whose full dHash is within
+   * `maxHamming` bits (`Long.bitCount(xor)` — the batch verify, exact).
+   * Collision-but-outside-ball claimants are kept and do NOT take
+   * ownership.
+   *
+   * Approximations vs the batch imageNearDup→closure chain, beyond the
+   * text twin's documented set (cross-band bridges, first-arrival keeper,
+   * horizon, late-row admission):
+   *
+   *  - OWNER-ONLY VERIFY: within one band bucket, every claimant is
+   *    verified against the FIRST owner only. If A owns a band, B
+   *    collides at hamming(A,B) > maxHamming (kept, not owner), and C
+   *    then collides at hamming(B,C) ≤ maxHamming but hamming(A,C) >
+   *    maxHamming, the batch pair (B,C) exists but the streaming form
+   *    keeps C — pinned in StreamingSpec. (The batch bucket verifies all
+   *    pairs; streaming state holds one owner per band key.)
+   *
+   * Never-vanish: rows with null html or null event time bypass (band
+   * -1, ok). Images that DECODE TO NO dHASH (corrupt bytes, < 9×8 px)
+   * claim one per-doc sentinel key ("u:" + node id — disjoint from the
+   * numeric slice keyspace) instead of real bands: they flow through the
+   * same state pass (one bounded entry each, expiring on the horizon like
+   * any band) and are always kept, WITHOUT a second decode — a
+   * bypass-side `dhash IS NULL` filter would re-run the decode on the
+   * self-union's second read of the micro-batch, the minhashLsh hazard.
+   * For the same reason the judged branch computes the dHash exactly ONCE
+   * per row: the band array is built inside a single-element
+   * `transform(array(dhash), h => …)` whose lambda BINDS the decoded
+   * value — naming the hash in a projection and referencing it from the
+   * slice transform would let CollapseProject re-inline the decode once
+   * per band (9 decodes/row at bands=8).
+   *
+   * Identity: nid128 over (url, warc_ts, source, html, text) — identical
+   * rows share one fate, batch-style. Pair with [[finalizeImage]] inside
+   * foreachBatch.
+   */
+  def imageVerdicts(docStream: DataFrame, delayMs: Long = 3600000L,
+                    bands: Int = 8, maxHamming: Int = 3): Dataset[ImgVerdict] = {
+    require(delayMs >= 0, s"delayMs must be >= 0, got $delayMs")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    // image corpora commonly land without caption/lang sidecars — default
+    // the optional doc columns to null rather than failing the bind
+    val src = Seq("source", "text", "lang").foldLeft(docStream)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
+    val canJudge = col("warc_ts").isNotNull && col("html").isNotNull
+    val base = src
+      .select(col("url"), col("warc_ts"), col("html"), col("text"),
+        col("lang"), col("source"))
+      .withColumn("_nid", pipeline.ops.Dedup.nid128(col("url"),
+        col("warc_ts").cast("string"), col("source"), col("html"), col("text")))
+      .withWatermark("warc_ts", s"$delayMs milliseconds")
+    // ONE decode per row (see scaladoc): the single-element transform binds
+    // the decoded hash as `h`; every reference below is to the bound value.
+    // Element type: struct(sh, bkey) — pos from posexplode is the band
+    // index for real slices; the sentinel (undecodable) array has one
+    // element with a null bkey, rewritten to the per-doc "u:" key below.
+    val bandStructs = element_at(
+      transform(array(pipeline.expr.ImageExprs.dhash(col("html"))), h =>
+        when(h.isNotNull,
+          transform(pipeline.ops.Dedup.hammingBandSlices(h, 64, bands),
+            k => struct(h.as("sh"), k.cast("string").as("bkey"))))
+        .otherwise(array(struct(h.as("sh"),
+          lit(null).cast("string").as("bkey"))))),
+      1)
+    val banded = base.filter(canJudge)
+      .select(col("_nid"), col("url"), col("warc_ts"), col("html"),
+        col("text"), col("lang"), col("source"),
+        posexplode(bandStructs).as(Seq("band", "bs")))
+      .select(col("_nid.h1").as("nid1"), col("_nid.h2").as("nid2"),
+        col("band"),
+        coalesce(col("bs.bkey"),
+          concat(lit("u:"), col("_nid.h1"), lit(":"), col("_nid.h2"))).as("bkey"),
+        col("bs.sh").as("sh"),
+        col("url"), col("warc_ts"),
+        when(col("band") === 0, col("html")).as("html"),
+        when(col("band") === 0, col("text")).as("text"),
+        col("lang"), col("source"))
+      .as[ImgBandRow]
+    val judged = banded
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[ImgBandState, ImgVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String), rows: Iterator[ImgBandRow], state: GroupState[ImgBandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toVector.sortBy(r => (r.warc_ts.getTime, r.nid1, r.nid2))
+            // stale state counts as expired on the DATA path too — the
+            // text twin's horizon rule, same reasoning
+            val wm = state.getCurrentWatermarkMs()
+            val prev = state.getOption.filter(st => wm <= st.maxSeenMs + delayMs)
+            val (w1, w2, wsh) = prev
+              .map(st => (st.firstNid1, st.firstNid2, st.sh))
+              .getOrElse((rs.head.nid1, rs.head.nid2, rs.head.sh))
+            var maxTs = prev.map(_.maxSeenMs).getOrElse(0L)
+            val out = rs.map { r =>
+              maxTs = math.max(maxTs, r.warc_ts.getTime)
+              val owns = r.nid1 == w1 && r.nid2 == w2
+              // dropped iff a DIFFERENT owner holds the band AND the full
+              // hashes are within the ball — the batch pair rule. Sentinel
+              // keys embed the nid, so a non-owning sentinel claimant is
+              // impossible (owns is always true there).
+              val withinBall = (r.sh, wsh) match {
+                case (Some(a), Some(b)) => java.lang.Long.bitCount(a ^ b) <= maxHamming
+                case _ => false
+              }
+              ImgVerdict(r.nid1, r.nid2, r.band, owns || !withinBall,
+                r.url, r.warc_ts, r.html, r.text, r.lang, r.source)
+            }
+            state.update(ImgBandState(w1, w2, wsh, maxTs))
+            state.setTimeoutTimestamp(math.max(maxTs + delayMs, wm + 1))
+            out.iterator
+          }
+      }
+    val bypass = base.filter(!canJudge)
+      .select(col("_nid.h1").as("nid1"), col("_nid.h2").as("nid2"),
+        lit(-1).as("band"), lit(true).as("ok"),
+        col("url"), col("warc_ts"), col("html"), col("text"),
+        col("lang"), col("source"))
+      .as[ImgVerdict]
+    judged.unionByName(bypass)
+  }
+
+  /**
+   * Micro-batch finalize for [[imageVerdicts]]: kept iff ok on EVERY
+   * claimed band, plus bypass rows verbatim — [[finalize]]'s shape with
+   * the binary payload carried. Payload rides the band-0 row (real bands)
+   * or the single sentinel row (band 0 by construction), so
+   * `first(ignoreNulls)` per nid recovers it; identical copies re-emit
+   * one row each with their OWN lang, the batch left_anti contract.
+   */
+  def finalizeImage(verdicts: DataFrame): DataFrame = {
+    val real = verdicts.filter(col("band") >= 0)
+      .groupBy(col("nid1"), col("nid2"))
+      .agg(min(when(col("ok"), lit(1)).otherwise(lit(0))).as("_all"),
+        first(col("url")).as("url"),
+        first(col("warc_ts")).as("warc_ts"),
+        first(col("html"), ignoreNulls = true).as("html"),
+        first(col("text"), ignoreNulls = true).as("text"),
+        first(col("source")).as("source"),
+        collect_list(when(col("band") === 0, struct(col("lang")))).as("_copies"))
+      .filter(col("_all") === 1)
+      .select(col("url"), col("warc_ts"), col("html"), col("text"),
+        col("source"), explode(col("_copies")).as("_c"))
+      .select(col("url"), col("warc_ts"), col("html"), col("text"),
+        col("_c.lang").as("lang"), col("source"))
+    verdicts.filter(col("band") < 0)
+      .select("url", "warc_ts", "html", "text", "lang", "source")
+      .unionByName(real)
+  }
 }

@@ -613,6 +613,52 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hook") && e.getMessage.contains("push-flush"))
   }
 
+  test("examples/stream_imagededup_config.json: --stream image daemon dedups binary payloads") {
+    val s = sc
+    import s.implicits._
+    val cfgPath = "examples/stream_imagededup_config.json"
+    assert(new java.io.File(cfgPath).exists(), s"missing $cfgPath")
+    val spec = PipelineConfig.load(cfgPath, Map.empty)
+    // pin the committed example's block (mode-dependent keys parsed)
+    assert(spec.streamDedupNear.contains(pipeline.config.StreamNearDedupSpec(
+      delayMs = 86400000L, bands = 8, mode = "image", maxHamming = 3)))
+    // landing zone: original + far image, then a near-dup (hamming 1) and
+    // a fresh one — real PNGs whose dHash is pinned by PngFromBitsExpr
+    val h = 0x0F0F0F0F0F0F0F0FL
+    def img(url: String, sec: Int, bits: Long) =
+      (url, java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d"),
+        pipeline.expr.PngFromBitsExpr.encode(bits),
+        null.asInstanceOf[String], "en", "img")
+    val cols = Seq("url", "warc_ts", "html", "text", "lang", "source")
+    val landing = Files.createTempDirectory("graft-cfgimg-landing").toString
+    Seq(img("i/a", 1, h), img("i/far", 2, ~h))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Seq(img("i/a-dup", 30, h ^ 2L), img("i/new", 31, 0x00FF00FF00FF00FFL))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(landing)
+    val out = Files.createTempDirectory("graft-cfgimg-out").toString
+    val got = ConfigRunner.runStream(s, cfgPath, Map(
+      "--stream" -> landing, "--out" -> out, "--max-files-per-trigger" -> "1"))
+    assert(got == Map("kept" -> 3L), s"got $got")
+    val urls = s.read.parquet(s"$out/kept_stream").select("url")
+      .as[String].collect().sorted.toSeq
+    assert(urls == Seq("i/a", "i/far", "i/new"), s"got $urls")
+    assert(new pipeline.io.Ledger(out).committedRows().values.sum == 3L)
+    // cross-mode keys are rejected at LOAD, config-shaped
+    val bad = Files.createTempFile("graft-cfgimg", ".json")
+    Files.write(bad, PipelineConfig.render(spec.copy(streamDedupNear =
+      spec.streamDedupNear)).replace("\"mode\" : \"image\"",
+      "\"mode\" : \"image\", \"nGram\" : 3").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](PipelineConfig.load(bad.toString))
+    assert(e.getMessage.contains("nGram") && e.getMessage.contains("image"))
+    // bands must divide 64 in image mode
+    val bad2 = Files.createTempFile("graft-cfgimg2", ".json")
+    Files.write(bad2, PipelineConfig.render(spec).replace("\"bands\" : 8",
+      "\"bands\" : 7").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](PipelineConfig.load(bad2.toString))
+    assert(e2.getMessage.contains("divide 64"))
+  }
+
   test("conflicting grok schemas across sources fail with a config-shaped error") {
     val s = sc
     val spec = pipeline.config.PipelineSpec(

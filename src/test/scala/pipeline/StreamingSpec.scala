@@ -859,4 +859,193 @@ class StreamingSpec extends AnyFunSuite {
     val ref = RefNormalizer.routedCounts((0L until 500L).iterator.map(Webtext.row))
     assert(rows > 0 && rows <= ref.values.sum)
   }
+
+  // ---------- streaming IMAGE near-dup (dHash band-owner twin) ----------
+
+  /** Image-doc row: html = a real PNG whose dHash is exactly `bits`
+    * (PngFromBitsExpr round-trips bit-for-bit, pinned in OpsSpec). */
+  private def imgDoc(url: String, sec: Int, bits: Long,
+                     lang: String = "en"): (String, java.sql.Timestamp,
+                     Array[Byte], String, String, String) =
+    (url, java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d"),
+      pipeline.expr.PngFromBitsExpr.encode(bits), null, lang, "img")
+
+  private val imgCols = Seq("url", "warc_ts", "html", "text", "lang", "source")
+
+  /** Shared image near-dup stream harness, the runNearDedup twin. */
+  private def runImageNearDedup(landing: String, delayMs: Long,
+                                bands: Int, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val s = sc
+    val out = Files.createTempDirectory("graft-ind-out").toString
+    val stream = s.readStream.schema(s.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = pipeline.streaming.NearDedup
+      .imageVerdicts(stream, delayMs, bands, maxHamming)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[pipeline.streaming.NearDedup.ImgVerdict], _: Long) =>
+        pipeline.streaming.NearDedup.finalizeImage(b.toDF)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("indck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  test("streaming image near-dup: drops within-ball, keeps far/bypass/undecodable; edges == batch pairs") {
+    val s = sc
+    import s.implicits._
+    // hashes: a ball of three around hA (hamming 0/1/2 ≤ max 3) plus one
+    // far hash; bands=8 over 64 bits, so hamming ≤ 2 leaves ≥ 6 shared
+    // band slices — every within-ball image collides with the original
+    val hA = 0x0123456789ABCDEFL
+    val hB = hA ^ (1L << 7)               // hamming 1
+    val hC = hA ^ (1L << 13) ^ (1L << 40) // hamming 2
+    val hFar = ~hA                        // hamming 64
+    val fileA = Seq(
+      imgDoc("i/a", 1, hA),
+      imgDoc("i/a-exact", 2, hA),         // exact twin, different url/nid
+      imgDoc("i/b", 3, hB))
+    val fileB = Seq(
+      imgDoc("i/c", 30, hC),              // cross-micro-batch near-dup
+      imgDoc("i/far", 31, hFar),
+      ("i/null-html", java.sql.Timestamp.valueOf("2026-01-01 10:00:32"),
+        null.asInstanceOf[Array[Byte]], "caption only", "en", "img"),
+      ("i/undecodable", java.sql.Timestamp.valueOf("2026-01-01 10:00:33"),
+        "not a png".getBytes, null, "en", "img"))
+    val landing = Files.createTempDirectory("graft-ind-landing").toString
+    fileA.toDF(imgCols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    fileB.toDF(imgCols: _*).coalesce(1).write.mode("append").parquet(landing)
+
+    val kept = runImageNearDedup(landing, delayMs = 86400000L,
+      bands = 8, maxHamming = 3)
+    val keptUrls = kept.select("url").as[String].collect().sorted.toSeq
+    // first-arrival keeper of the ball + the far singleton + never-vanish
+    assert(keptUrls == Seq("i/a", "i/far", "i/null-html", "i/undecodable"),
+      s"got $keptUrls")
+    // kept payloads survive byte-intact (the binary column rides band 0)
+    val keptPng = kept.filter(col("url") === "i/a").select("html")
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(keptPng,
+      pipeline.expr.PngFromBitsExpr.encode(hA)))
+    // batch twin on the same frame: imageNearDup's verified pairs are
+    // exactly the streaming drop edges (every dropped url near-pairs the
+    // kept original; far/bypass rows pair with nothing)
+    val all = s.read.parquet(landing)
+      .withColumn("id", col("url"))
+    val pairs = pipeline.ops.Dedup.imageNearDup(all, "id", "html",
+      bands = 8, maxHamming = 3)
+      .select("a", "b").as[(String, String)].collect()
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    assert(pairs == Set(("i/a", "i/a-exact"), ("i/a", "i/b"), ("i/a", "i/c"),
+      ("i/a-exact", "i/b"), ("i/a-exact", "i/c"), ("i/b", "i/c")),
+      s"got $pairs")
+  }
+
+  test("streaming image near-dup: owner-only verify divergence is the documented miss") {
+    val s = sc
+    import s.implicits._
+    // A owns every slice of 0x00; B differs from A in band 7 only
+    // (hamming 8 > max 3, kept); C = B with one band-7 bit flipped:
+    // hamming(B,C)=1 — a BATCH pair (they share bands 0-6) — but C's
+    // shared bands are all OWNED BY A (hamming(A,C)=7 > 3, no edge) and
+    // its band-7 slice differs from B's, so the streaming form keeps C.
+    // Batch keeps one of {B,C}; streaming keeps both — the image-twin
+    // analog of the text cross-band-bridge divergence.
+    val hA = 0x0L
+    val hB = 0xFF00000000000000L
+    val hC = hB ^ (1L << 56)
+    val landing = Files.createTempDirectory("graft-ind-own").toString
+    Seq(imgDoc("i/a", 1, hA), imgDoc("i/b", 2, hB), imgDoc("i/c", 3, hC))
+      .toDF(imgCols: _*).coalesce(1).write.mode("append").parquet(landing)
+    val kept = runImageNearDedup(landing, delayMs = 86400000L,
+      bands = 8, maxHamming = 3)
+    val keptUrls = kept.select("url").as[String].collect().sorted.toSeq
+    assert(keptUrls == Seq("i/a", "i/b", "i/c"), s"got $keptUrls")
+    // the batch pair the stream missed — pinned, not hidden
+    val all = s.read.parquet(landing).withColumn("id", col("url"))
+    val pairs = pipeline.ops.Dedup.imageNearDup(all, "id", "html",
+      bands = 8, maxHamming = 3).select("a", "b")
+      .as[(String, String)].collect().toSet
+    assert(pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) } ==
+      Set(("i/b", "i/c")), s"got $pairs")
+  }
+
+  test("streaming image near-dup: horizon expiry re-admits; identical copies share fate with own lang") {
+    val s = sc
+    import s.implicits._
+    val h = 0x5A5A5A5A5A5A5A5AL
+    def at(secs: Int, url: String, lang: String = "en") =
+      (url, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime + secs * 1000L),
+        pipeline.expr.PngFromBitsExpr.encode(h), null.asInstanceOf[String],
+        lang, "img")
+    val landing = Files.createTempDirectory("graft-ind-hz").toString
+    // batch 1: the original + an IDENTICAL copy pair differing only in lang
+    Seq(at(0, "i/orig"), at(0, "i/twin", "en"), at(0, "i/twin", "de"))
+      .toDF(imgCols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    // batch 2: within-horizon dup (dropped) at +30s
+    Seq(at(30, "i/near")).toDF(imgCols: _*).coalesce(1)
+      .write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    // batch 3: an unrelated sentinel at +1h moves the watermark past the
+    // 60s horizon behind batch 2's claim (text-twin test structure)
+    Seq((("i/sentinel", new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2026-01-01 11:00:00").getTime),
+      pipeline.expr.PngFromBitsExpr.encode(~h), null.asInstanceOf[String],
+      "en", "img"))).toDF(imgCols: _*).coalesce(1)
+      .write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    // batch 4: the far-apart duplicate re-enters (state expired)
+    Seq(at(3601, "i/late-dup")).toDF(imgCols: _*).coalesce(1)
+      .write.mode("append").parquet(landing)
+    val kept = runImageNearDedup(landing, delayMs = 60000L,
+      bands = 8, maxHamming = 3)
+    val keptRows = kept.select("url", "lang").as[(String, String)]
+      .collect().sorted.toSeq
+    // identical copies (same nid): kept together, each with ITS OWN lang;
+    // i/twin(en/de) and i/orig have different nids (url differs) — orig
+    // first-arrival wins, twin copies drop... unless twin IS the first
+    // by nid sort at equal ts. Pin the actual contract instead: exactly
+    // ONE nid-class survives batch 1, and identical copies never split.
+    val b1Kept = keptRows.map(_._1).filter(u => u == "i/orig" || u == "i/twin")
+    assert(b1Kept.distinct.size == 1, s"one nid-class survives batch 1: $keptRows")
+    if (b1Kept.head == "i/twin")
+      assert(keptRows.filter(_._1 == "i/twin").map(_._2).sorted == Seq("de", "en"),
+        s"copies keep their own lang: $keptRows")
+    assert(!keptRows.map(_._1).contains("i/near"), s"within-horizon dup drops: $keptRows")
+    assert(keptRows.map(_._1).contains("i/sentinel"), s"unrelated image kept: $keptRows")
+    assert(keptRows.map(_._1).contains("i/late-dup"), s"expired horizon re-admits: $keptRows")
+  }
+
+  test("image near-dup daemon: written rows == ledger == stream metrics") {
+    val s = sc
+    import s.implicits._
+    val hA = 0x1111222233334444L
+    val landing = Files.createTempDirectory("graft-inddaemon-landing").toString
+    Seq(imgDoc("i/a", 1, hA), imgDoc("i/b", 2, ~hA))
+      .toDF(imgCols: _*).coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1100)
+    Seq(imgDoc("i/a-dup", 30, hA ^ 1L), imgDoc("i/new", 31, 0x00FF00FF00FF00FFL))
+      .toDF(imgCols: _*).coalesce(1).write.mode("append").parquet(landing)
+    val out = Files.createTempDirectory("graft-inddaemon-out").toString
+    val stream = s.readStream.schema(s.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = Streaming.startImagesNearDedup(stream, out, delayMs = 86400000L)
+    q.awaitTermination()
+    val written = s.read.parquet(s"$out/kept_stream")
+    val urls = written.select("url").as[String].collect().sorted.toSeq
+    assert(urls == Seq("i/a", "i/b", "i/new"), s"got $urls")
+    // day partitioning materialized; payloads intact through the write
+    assert(written.columns.contains("day"))
+    val ledger = new Ledger(out).committedRows()
+    assert(ledger.values.sum == 3L, s"ledger $ledger")
+    val m = pipeline.streaming.StreamMetrics.load(s, out)
+      .filter(col("kind") === "sink")
+      .agg(sum("rows")).head.getLong(0)
+    assert(m == 3L, s"metrics $m")
+  }
 }
