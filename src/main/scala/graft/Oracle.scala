@@ -956,6 +956,53 @@ object Oracle {
         |  string_agg(text, '' ORDER BY doc_id) AS shard_text
         |FROM c GROUP BY 1""".stripMargin,
 
+    "q_dup_spans" ->
+      // positional (non-distinct) 8-token windows; a window duplicated
+      // ≥2 times ANYWHERE (other docs or the same one) is a dup span.
+      // DuckDB list slice ws[i:i+7] is END-INCLUSIVE (8 elements); range()
+      // is end-exclusive, so windows i = 1 .. len-7
+      """WITH w AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |    i -> array_to_string(ws[i:i+7], ' '))) AS gram
+        |  FROM w WHERE text IS NOT NULL AND len(ws) >= 8),
+        |occ AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |dup AS (
+        |  SELECT doc_id, count(*) AS n_dup_grams
+        |  FROM g JOIN occ USING (gram) GROUP BY 1)
+        |SELECT w.doc_id,
+        |  CAST(len(w.ws) - 7 AS BIGINT) AS n_grams,
+        |  CAST(dup.n_dup_grams AS BIGINT) AS n_dup_grams,
+        |  CAST(dup.n_dup_grams AS DOUBLE) / (len(w.ws) - 7) AS dup_frac
+        |FROM w JOIN dup USING (doc_id)
+        |WHERE dup.n_dup_grams > 0""".stripMargin,
+
+    "q_pack_sequences" ->
+      // rebuild the identical global token stream: per-doc portable ids +
+      // EOS(-1), exclusive prefix-sum offsets in doc_id order, ALIGNED
+      // unnest (unnest + generate_subscripts over the same list zip in
+      // DuckDB) to global positions, then 64-chunk and CSV each full
+      // sequence in position order
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_append(list_transform(
+        |      list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''),
+        |      w -> ${h32("w")}), -1) AS ids
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, ids,
+        |    COALESCE(sum(len(ids)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t),
+        |u AS (
+        |  SELECT off + generate_subscripts(ids, 1) - 1 AS pos, unnest(ids) AS id
+        |  FROM c)
+        |SELECT CAST(pos // 64 AS BIGINT) AS seq, count(*) AS n_ids,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+        |FROM u GROUP BY 1 HAVING count(*) = 64""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH sh AS (
         |  SELECT doc_id, unnest($shinglesSql) AS sh FROM (

@@ -804,6 +804,37 @@ object Queries {
             x => x("decoded")), "").as("shard_text"))
   }
 
+  /** Exact-substring duplication stats (Lee et al. 2022 family): per-doc
+    * fraction of 8-token windows occurring ≥2 times corpus-wide, plus the
+    * quality-gate survivor count cross-check. Short docs report zero
+    * windows and always pass — never-vanish. */
+  def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 8)
+      .filter(col("n_dup_grams") > 0)
+  }
+
+  /** Fixed-context sequence packing — the trainer input shape: per-token
+    * portable ids (h32 of each ws token, EOS −1 between docs), documents
+    * concatenated in doc_id order, chunked into rows of exactly 64 ids
+    * (remainder dropped). The oracle rebuilds the identical global token
+    * stream from ITS OWN prefix sum and aligned unnest — any wrong slice
+    * boundary, piece order, or offset breaks the per-sequence CSV
+    * equality. Production callers feed BPE id arrays
+    * (CorpusRefine.emitTokenShards → packSequences); the portable-hash
+    * ids here exist so the oracle can derive the same stream in SQL. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val enc = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        transform(
+          filter(Portable.tokens(col("text")), w => w =!= ""),
+          w => Portable.hash32(w)).as("ids"))
+    CorpusRefine.packSequences(enc, "doc_id", "ids", seqLen = 64)
+      .select(col("seq"), col("n_ids"),
+        array_join(transform(col("ids"), i => i.cast("string")), ",").as("ids_csv"))
+  }
+
   /** Benchmark decontamination: docs sharing ≥ 5 distinct 3-gram shingles
     * with the held-out "benchmark" slice (doc_id % 50 == 0), benchmark
     * docs themselves excluded from the report. */

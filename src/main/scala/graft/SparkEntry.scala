@@ -74,6 +74,8 @@ object SparkEntry {
     "q_pack_shards" -> (Queries.qPackShards _),
     "q_bpe_encode" -> (Queries.qBpeEncode _),
     "q_token_shards" -> (Queries.qTokenShards _),
+    "q_pack_sequences" -> (Queries.qPackSequences _),
+    "q_dup_spans" -> (Queries.qDupSpans _),
     "q_decontaminate" -> (Queries.qDecontaminate _),
     "q_multimodal" -> (Queries.qMultimodal _),
     "q_multimodal_image" -> (Queries.qMultimodalImage _),

@@ -361,13 +361,33 @@ object CorpusRefine {
                       budget: Long, buckets: Int = 256,
                       equalize: Boolean = false,
                       carryCols: Seq[String] = Nil): DataFrame = {
-    require(budget > 0 && buckets > 0, s"bad budget=$budget buckets=$buckets")
+    require(budget > 0, s"bad budget=$budget")
+    exclusiveCumSum(df, idCol, tokenCol, buckets, equalize, carryCols)
+      // integer div, like the bucketing: a cumulative token count past
+      // 2^53 would round through a double and misassign boundary docs
+      .withColumn("shard", expr(s"_cum_excl div ${budget}L"))
+      .select((Seq(idCol, tokenCol) ++ carryCols).map(col) :+ col("shard"): _*)
+  }
+
+  /**
+   * Distributed EXCLUSIVE prefix sum of `tokenCol` in `idCol` order — the
+   * shared core of [[packTokenShards]] (shard = cum div budget) and
+   * [[packSequences]] (global token positions). Returns the input columns
+   * (+ `carryCols`) plus `_cum_excl`: the sum of `tokenCol` over all
+   * strictly-smaller ids. All scale/contract notes in the
+   * [[packTokenShards]] scaladoc (bucketed two-level window, observed-span
+   * or quantile boundaries, null-id and hash-id rejection) live HERE.
+   */
+  private def exclusiveCumSum(df: DataFrame, idCol: String, tokenCol: String,
+                              buckets: Int, equalize: Boolean,
+                              carryCols: Seq[String]): DataFrame = {
+    require(buckets > 0, s"bad buckets=$buckets")
     val mm = df.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi"),
       count(lit(1)).as("n_rows"), count(col(idCol)).as("n_ids")).head()
     if (mm.isNullAt(0) && mm.getLong(2) == 0) // empty input: shape-stable empty result
       return df.select((Seq(idCol, tokenCol) ++ carryCols).map(col) :+
-        lit(0L).as("shard"): _*).limit(0)
+        lit(0L).as("_cum_excl"): _*).limit(0)
     // null ids would vanish silently: min/max ignore them, their bucket is
     // null, and the inner offsets join drops them — reject up front (same
     // config-shaped contract as the id-span check below). Rides the one
@@ -417,15 +437,81 @@ object CorpusRefine {
       .withColumn("_off", coalesce(sum(col("_btot")).over(offW), lit(0L)))
       .select(col("_b"), col("_off"))
     local.join(broadcast(offsets), "_b")
+      // carryCols ride the same rows through bucket/window/join — payload
+      // columns (e.g. token-id arrays) reach the consumer without a
+      // second data-sized join back onto the packed frame
       .withColumn("_cum_excl",
         col("_off") + col("_cum_local") - col(tokenCol))
-      // integer div, like the bucketing above: a cumulative token count
-      // past 2^53 would round through a double and misassign boundary docs
-      .withColumn("shard", expr(s"_cum_excl div ${budget}L"))
-      // carryCols ride the same rows through bucket/window/join — payload
-      // columns (e.g. token-id arrays) reach the shard writer without a
-      // second data-sized join back onto the packed frame
-      .select((Seq(idCol, tokenCol) ++ carryCols).map(col) :+ col("shard"): _*)
+      .select((Seq(idCol, tokenCol) ++ carryCols).map(col) :+ col("_cum_excl"): _*)
+  }
+
+  /**
+   * Fixed-context SEQUENCE packing — the trainer's actual input shape:
+   * documents' token-id arrays are concatenated in `idCol` order (an
+   * `eosId` separator appended to each document when `appendEos`) and the
+   * global id stream is chunked into rows of exactly `seqLen` ids. The
+   * GPT-style packed-batch layout: sequences cross document boundaries,
+   * nothing is padded, and the one trailing partial chunk is dropped by
+   * default (`dropRemainder = false` keeps it, shorter).
+   *
+   * Distributed shape — no driver materialization, no per-TOKEN rows:
+   *  1. global EXCLUSIVE offsets via [[exclusiveCumSum]] (the
+   *     packTokenShards two-level window; id arrays ride as a carry
+   *     column, shuffled once);
+   *  2. each document explodes into ≤ ⌈n/seqLen⌉+1 SLICE pieces, one per
+   *     overlapping target sequence — `slice()` arithmetic on the rider
+   *     array, fully narrow;
+   *  3. one shuffle keyed by sequence number reassembles each row:
+   *     `array_sort(collect_list(struct(pos, piece)))` then flatten.
+   *     Per-group memory is exactly seqLen ids — uniform by construction,
+   *     skew-free at any corpus size.
+   *
+   * Rows with a NULL id array are rejected like null ids (they have no
+   * position in the token stream; encode or filter first). Empty arrays
+   * contribute only their EOS (or nothing with `appendEos = false`).
+   *
+   * Output: (`seq`, `ids`, `n_ids`) — seq is the 0-based global sequence
+   * number; interior sequences always have n_ids == seqLen.
+   */
+  def packSequences(docs: DataFrame, idCol: String, idsCol: String,
+                    seqLen: Int, eosId: Long = -1L,
+                    appendEos: Boolean = true,
+                    dropRemainder: Boolean = true,
+                    buckets: Int = 256,
+                    equalize: Boolean = false): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val asLongs = col(idsCol).cast("array<long>")
+    val withEos = docs.select(col(idCol),
+      (if (appendEos) concat(asLongs, array(lit(eosId))) else asLongs).as("_ids"))
+    val nNull = withEos.filter(col("_ids").isNull).limit(1).count()
+    require(nNull == 0,
+      s"packSequences: null $idsCol array(s) — a row without an id array " +
+        "has no position in the token stream; encode or filter first")
+    val off = exclusiveCumSum(
+      withEos.withColumn("_n", size(col("_ids")).cast("long")),
+      idCol, "_n", buckets, equalize, carryCols = Seq("_ids"))
+    // piece k covers global positions [max(off, k·L), min(off+n, (k+1)·L))
+    val pieces = off.filter(col("_n") > 0) // sequence(a,b) descends if b<a
+      .select(explode(transform(
+        sequence(expr(s"_cum_excl div ${seqLen}L"),
+          expr(s"(_cum_excl + _n - 1) div ${seqLen}L")),
+        k => {
+          val start = greatest(k * seqLen - col("_cum_excl"), lit(0L))
+          val len = least((k + 1) * seqLen - col("_cum_excl"), col("_n")) - start
+          struct(
+            k.as("seq"),
+            // position of this piece inside its sequence — the reassembly
+            // sort key (pieces of one sequence come from distinct docs)
+            (greatest(k * seqLen, col("_cum_excl")) - k * seqLen).as("pos"),
+            slice(col("_ids"), start + 1, len).as("piece"))
+        })).as("p"))
+    val seqs = pieces
+      .groupBy(col("p.seq").as("seq"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("p.pos"), col("p.piece")))),
+        s => s.getField("piece"))).as("ids"))
+      .withColumn("n_ids", size(col("ids")).cast("long"))
+    if (dropRemainder) seqs.filter(col("n_ids") === seqLen) else seqs
   }
 
   /**
@@ -461,6 +547,34 @@ object CorpusRefine {
     val shards = emitTokenShards(docs, idCol, textCol, table, budget, buckets, equalize)
     shards.write.mode("overwrite").partitionBy("shard").parquet(outDir)
     shards
+  }
+
+  /**
+   * Fixed-context PACKED-SEQUENCE shards — the other trainer layout
+   * ([[writeTokenShards]] keeps document boundaries; this one emits the
+   * GPT-style packed batches): BPE-encode each doc
+   * ([[pipeline.expr.Bpe.bpeEncode]]), concatenate in id order with
+   * `eosId` separators, chunk into rows of exactly `seqLen` ids
+   * ([[packSequences]]), and land them partitioned by
+   * `shard = seq div seqsPerShard` (per-sequence dirs would be millions
+   * of partitions; a shard is one loader unit of `seqsPerShard`
+   * sequences ≈ seqsPerShard·seqLen tokens). Returns the emitted frame
+   * (pre-write plan) for count reconciliation.
+   */
+  def writeSequenceShards(docs: DataFrame, idCol: String, textCol: String,
+                          table: pipeline.expr.BpeTable, seqLen: Int,
+                          eosId: Long, outDir: String,
+                          seqsPerShard: Long = 8192L,
+                          buckets: Int = 256,
+                          equalize: Boolean = false): DataFrame = {
+    require(seqsPerShard >= 1, s"seqsPerShard must be >= 1, got $seqsPerShard")
+    val enc = docs.select(col(idCol),
+      pipeline.expr.Bpe.bpeEncode(col(textCol), table).as("ids"))
+    val seqs = packSequences(enc, idCol, "ids", seqLen, eosId,
+      buckets = buckets, equalize = equalize)
+      .withColumn("shard", expr(s"seq div ${seqsPerShard}L"))
+    seqs.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    seqs
   }
 
   /**

@@ -1,6 +1,7 @@
 package pipeline.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Portable._
@@ -398,6 +399,14 @@ object Dedup {
     var frontier = labels
     var converged = false
     var iter = 0
+    // superseded-checkpoint lifecycle: every round materializes two frames
+    // (propagated + next); without explicit release the block manager
+    // accumulates rounds × 2 full label maps — measured at the 10M-node
+    // drill as a round-~10 heap OOM (8 GiB driver). A checkpoint is dead
+    // as soon as the frame that superseded it is materialized (lineage is
+    // truncated, nothing re-reads it): propagated dies when next lands,
+    // and the previous round's next dies with it.
+    var prevRound: DataFrame = labels
     while (!converged && iter < maxIter) {
       // (1) candidate label for dst = min over CHANGED neighbors' comps
       val viaNeighbors = edges
@@ -431,13 +440,19 @@ object Dedup {
         .localCheckpoint()
       labels = next.select("node", "comp")
       frontier = next.filter(col("chg")).select("node", "comp")
-      converged = frontier.isEmpty
+      converged = frontier.isEmpty // a job over next's blocks — BEFORE release
+      propagated.unpersist()
+      prevRound.unpersist()
+      prevRound = next
       iter += 1
       // observation hook (bench/drill instrumentation): called once per
       // completed round, AFTER this round's jobs — a no-op by default
       onRound(iter)
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    // the returned labels reference only the LAST round's blocks; the edge
+    // checkpoint is session-lifetime garbage otherwise
+    edges.unpersist()
     labels
   }
 
@@ -501,5 +516,95 @@ object Dedup {
           (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+  }
+
+  /**
+   * EXACT-SUBSTRING duplication stats — the Spark-relational form of the
+   * suffix-array pass in "Deduplicating Training Data Makes Language
+   * Models Better" (Lee et al. 2022, arXiv:2107.06499 §4.1): a length-`k`
+   * token window that occurs ≥2 times ANYWHERE in the corpus (another
+   * document or the same one) is a duplicated span. Per document this
+   * reports `n_grams` (token windows), `n_dup_grams` (windows whose
+   * k-gram occurs ≥2 times corpus-wide) and `dup_frac` — the
+   * memorization-risk signal the paper removes at 50 tokens; the
+   * RefinedWeb-style quality gate is [[duplicateSpanFilter]].
+   *
+   * Scale shape: the inverted-index family (decontaminate, tfidf) — one
+   * narrow positional k-gram-hash pass per row (h32 of the space-joined
+   * window; NON-distinct, unlike [[shingles]] — every occurrence counts),
+   * then two map-side-combined aggregates: per-(doc, gram) counts, and
+   * corpus-wide gram occurrence counts reusing that exchange. Only 8-byte
+   * gram hashes and ids shuffle; text never does. Choose k large enough
+   * that natural-language grams are rare (the paper uses 50; ≥8 in
+   * practice) — a stopword-scale k would make the gram-count aggregate a
+   * hot-key problem, which is inherent to the statistic, not the plan
+   * (every engine must count the ubiquitous gram).
+   *
+   * Docs with fewer than `k` tokens (or null text) have zero windows:
+   * reported with n_grams = 0, dup_frac = 0 — never-vanish, and a
+   * downstream filter keeps them (no spans → nothing duplicated).
+   */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ws = tokens(col(textCol))
+    // positional k-gram hashes: window i (1-based) = tokens[i, i+k).
+    // size guard FIRST: sequence(1, n-k+1) DESCENDS when n < k (the
+    // shingles() precedent) — short docs must yield zero windows, not two
+    // broken ones
+    // gram key = full md5 (16 bytes of entropy): a 32-bit key would
+    // collide at corpus scale (600k windows already expect ~40 birthday
+    // pairs) and every collision is a false "duplicate"; md5 is portable
+    // (identical hex in the SQL oracle) and rides the shuffle at 32 chars
+    val gramHashes = when(col(textCol).isNotNull && size(ws) >= k,
+      transform(
+        sequence(lit(1), size(ws) - lit(k - 1)),
+        i => md5(concat_ws(" ",
+          (0 until k).map(j => get(ws, i + lit(j) - lit(1))): _*).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df
+      .select(col(idCol).as("id"), gramHashes.as("gs"))
+      .select(col("id"), explode(col("gs")).as("g"))
+    // per-(doc, gram) occurrence counts — the map-side combine collapses
+    // within-doc repeats before the shuffle
+    val perDoc = grams.groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    // corpus-wide occurrence per gram as a PARTITIONED window over the
+    // same frame — one linear chain, so the token-scale explode runs
+    // exactly once (plan-guarded). The perDoc-groupBy-g + semi-join-back
+    // alternative reads perDoc from two branches, and exchange reuse does
+    // NOT fire across them (measured: 2× the explode+md5 — the minhashLsh
+    // barrier lesson); the window costs the same one (g)-keyed shuffle
+    // the occurrence aggregate would, without the second compute.
+    val dupPerDoc = perDoc
+      .withColumn("occ",
+        sum(col("c")).over(Window.partitionBy(col("g"))))
+      .filter(col("occ") >= 2)
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_dup_grams"))
+    df.select(col(idCol).as("id"),
+        coalesce(
+          when(col(textCol).isNotNull,
+            greatest(size(tokens(col(textCol))) - lit(k - 1), lit(0))),
+          lit(0)).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Exact-substring quality gate: drop documents whose duplicated-window
+    * fraction exceeds `maxFrac` (RefinedWeb-style). Windowless docs
+    * (short/null text) always pass — never-vanish. */
+  def duplicateSpanFilter(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, maxFrac: Double): DataFrame = {
+    require(maxFrac >= 0.0, s"maxFrac must be >= 0, got $maxFrac")
+    val bad = duplicateSpanStats(df, idCol, textCol, k)
+      .filter(col("dup_frac") > maxFrac)
+      .select(col(idCol))
+    df.join(bad, Seq(idCol), "left_anti")
   }
 }

@@ -268,6 +268,96 @@ class CorpusRefineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("null id"), err.getMessage)
   }
 
+  test("packSequences: fixed-length chunks equal the single-threaded concat reference") {
+    val s = sc
+    import s.implicits._
+    // variable-length docs incl. empties; ids unique per (doc, position)
+    // so a piece landing in the wrong sequence or order is always visible
+    val docs = (0L until 200L).map { i =>
+      (i, (0L until (i % 23)).map(j => i * 1000 + j).toArray)
+    }
+    val d = docs.toDF("doc_id", "ids").repartition(8)
+    val L = 64
+    val got = CorpusRefine.packSequences(d, "doc_id", "ids", seqLen = L,
+      buckets = 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .sortBy(_._1)
+    // single-threaded reference: concat in id order with EOS, chunk, drop tail
+    val stream = docs.sortBy(_._1).flatMap { case (_, ids) => ids :+ -1L }
+    val want = stream.grouped(L).filter(_.size == L).toList
+    assert(got.map(_._1).toList == want.indices.map(_.toLong).toList,
+      s"sequence numbering: ${got.map(_._1).toList}")
+    got.zip(want).foreach { case ((k, ids, n), ref) =>
+      assert(n == L && ids == ref.toList, s"sequence $k differs")
+    }
+    // keep-remainder form: one extra short row holding the exact tail
+    val tail = stream.grouped(L).toList.last
+    if (tail.size < L) {
+      val all = CorpusRefine.packSequences(d, "doc_id", "ids", seqLen = L,
+        dropRemainder = false, buckets = 7)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).sortBy(_._1)
+      assert(all.length == want.length + 1 && all.last._2 == tail.toList)
+    }
+    // appendEos=false: the raw concatenation, no separators
+    val noEos = CorpusRefine.packSequences(d, "doc_id", "ids", seqLen = L,
+      appendEos = false, buckets = 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      .sortBy(_._1).flatMap(_._2).toList
+    val rawStream = docs.sortBy(_._1).flatMap(_._2).toList
+    assert(noEos == rawStream.take(rawStream.size / L * L))
+    // a doc longer than several sequences slices correctly (multi-piece)
+    val big = Seq((0L, (0L until 300L).toArray), (1L, Array(7L, 8L)))
+      .toDF("doc_id", "ids")
+    val bigGot = CorpusRefine.packSequences(big, "doc_id", "ids", seqLen = 50)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).sortBy(_._1)
+    val bigRef = ((0L until 300L) ++ Seq(-1L, 7L, 8L, -1L))
+      .grouped(50).filter(_.size == 50).toList
+    assert(bigGot.map(_._2).toList == bigRef.map(_.toList))
+    // null id arrays are rejected config-shaped (no silent position skew)
+    val withNull = d.unionByName(Seq((999L, null.asInstanceOf[Array[Long]]))
+      .toDF("doc_id", "ids"))
+    val err = intercept[IllegalArgumentException] {
+      CorpusRefine.packSequences(withNull, "doc_id", "ids", seqLen = L)
+    }
+    assert(err.getMessage.contains("null"), err.getMessage)
+  }
+
+  test("writeSequenceShards: BPE-encoded packed sequences land shard-partitioned and decode back") {
+    val s = sc
+    import s.implicits._
+    import pipeline.expr.Bpe
+    val docs = (0L until 60L)
+      .map(i => (i, s"doc $i alpha beta gamma " * ((i % 5) + 1).toInt))
+      .toDF("doc_id", "text").repartition(4)
+    val out = java.nio.file.Files.createTempDirectory("graft-seqshards").toString
+    val L = 32
+    val emitted = CorpusRefine.writeSequenceShards(docs, "doc_id", "text",
+      Bpe.FixtureByteLevel, seqLen = L, eosId = -1L, out, seqsPerShard = 4)
+    val back = s.read.parquet(out)
+    // written rows == emitted; every sequence is exactly seqLen; shard
+    // assignment is seq div 4
+    assert(back.count() == emitted.count() && back.count() > 0)
+    // partition-column type inference reads `shard` back as int — cast
+    val rows = back.select(col("seq"), col("n_ids"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (seq, n, shard) =>
+      assert(n == L && shard == seq / 4, s"seq=$seq n=$n shard=$shard")
+    }
+    assert(rows.map(_._1).sorted.toList == rows.indices.map(_.toLong).toList)
+    // the packed stream is the concatenation of per-doc encodes + EOS:
+    // re-derive it single-threaded from the same encoder and compare
+    val perDoc = docs.select(col("doc_id"),
+      Bpe.bpeEncode(col("text"), Bpe.FixtureByteLevel).as("ids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).map(_.toLong)))
+      .sortBy(_._1)
+    val stream = perDoc.flatMap { case (_, ids) => ids :+ -1L }
+    val want = stream.grouped(L).filter(_.size == L).toList.map(_.toList)
+    val got = back.select("seq", "ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).sortBy(_._1)
+      .map(_._2).toList
+    assert(got == want)
+  }
+
   test("packTokenShards equalize: identical shards on clustered ids, balanced buckets") {
     val s = sc
     import s.implicits._

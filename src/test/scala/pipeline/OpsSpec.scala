@@ -247,6 +247,47 @@ class OpsSpec extends AnyFunSuite {
     assert(single == truth.filter(_._2 == 0))
   }
 
+  test("duplicateSpanStats: per-doc dup window counts equal the brute-force reference") {
+    val s = sc
+    import s.implicits._
+    val rows = Seq(
+      // d0 is fully period-8 (every window repeats INTERNALLY — the paper
+      // counts any second occurrence, same doc included) → dup_frac 1.0;
+      // d1 shares exactly one 8-token run with d0 → dup_frac 1/4
+      (0L, ("a b c d e f g h " * 3).trim),
+      (1L, "prefix1 x a b c d e f g h suffix1"),
+      (2L, "q w e r t y u i o p unique2 only2"),   // no shared windows
+      (3L, "short doc"),                            // < k tokens → 0 windows
+      (4L, null.asInstanceOf[String]))              // null text → 0 windows
+    val d = rows.toDF("id", "text").repartition(3)
+    val k = 8
+    val got = Dedup.duplicateSpanStats(d, "id", "text", k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // brute force in Scala
+    val windows = rows.flatMap { case (id, t) =>
+      Option(t).toSeq.flatMap(_.trim.split("\\s+").toSeq.sliding(k)
+        .filter(_.size == k).map(w => (id, w.mkString(" "))))
+    }
+    val occ = windows.groupBy(_._2).map { case (g, ws) => g -> ws.size }
+    val want = rows.map { case (id, t) =>
+      val ws = windows.filter(_._1 == id)
+      id -> (ws.size.toLong, ws.count(w => occ(w._2) >= 2).toLong)
+    }.toMap
+    want.foreach { case (id, (n, dup)) =>
+      val (gn, gdup, gfrac) = got(id)
+      assert(gn == n && gdup == dup, s"doc $id: got $gn/$gdup want $n/$dup")
+      assert(gfrac == (if (n == 0) 0.0 else dup.toDouble / n), s"doc $id frac")
+    }
+    // windowless docs report 0/0/0.0 — never vanish
+    assert(got(3L) == ((0L, 0L, 0.0)) && got(4L) == ((0L, 0L, 0.0)))
+    // the quality gate: d0 (frac 1.0) drops at 0.5; d1 (1/4) and the
+    // windowless docs pass
+    val kept = Dedup.duplicateSpanFilter(d, "id", "text", k, maxFrac = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L), s"kept $kept")
+  }
+
   test("ngramJaccard scores exact duplicates at 1.0 and respects threshold") {
     val d = docs(1500)
     val j = Dedup.ngramJaccard(d, "id", "text", 3, 0.5)

@@ -121,6 +121,27 @@ class PlanGuardSpec extends AnyFunSuite {
       s"self-join sides must share the signature exchange:\n$plan")
   }
 
+  test("duplicateSpanStats: gram explode + md5 computed once (shared exchange)") {
+    val s = sc
+    val dir = java.nio.file.Files.createTempDirectory("ds-plan").toString
+    Webtext.df(s, 500, 4).select("url", "text")
+      .withColumn("doc_id", xxhash64(col("url")))
+      .write.mode("overwrite").parquet(dir)
+    val df = pipeline.ops.Dedup.duplicateSpanStats(
+      s.read.parquet(dir), "doc_id", "text", k = 8)
+    df.collect()
+    val plan = finalPlan(df)
+    // one linear chain: the token-scale explode + md5 runs exactly once
+    // (the perDoc-groupBy + semi-join-back alternative read the frame
+    // from two branches and exchange reuse did NOT fire — measured 2×)
+    val explodes = "generate explode".r.findAllIn(plan.toLowerCase).size
+    assert(explodes == 1, s"gram explode ran $explodes times (want 1):\n$plan")
+    // text never rides a shuffle: only ids and 32-char digests do
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"text must not shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("IVF cell assignment is narrow: no cross join, no per-row-id window") {
     val s = sc
     import s.implicits._
