@@ -133,10 +133,20 @@ object Bpe {
     val pretokens: Seq[String] =
       if (byteLevel) gpt2Pretokens(corpus).map(toByteSymbols).toSeq
       else PretokenRe.findAllIn(corpus).toSeq
-    var words: Map[Vector[String], Int] =
+    learnFromCounts(
       pretokens
         .groupBy(w => w.map(_.toString).toVector)
-        .map { case (syms, ws) => syms -> ws.size }
+        .map { case (syms, ws) => syms -> ws.size },
+      numMerges)
+  }
+
+  /** The merge-learning loop over a word-frequency table — the shared
+    * core of [[learn]] (in-memory corpus) and [[train]] (distributed
+    * word counting). Word keys are SYMBOL vectors (single chars initially;
+    * byte-level words arrive already mapped through [[ByteEnc]]). */
+  def learnFromCounts(words0: Map[Vector[String], Int],
+                      numMerges: Int): Vector[(String, String)] = {
+    var words = words0
     val merges = Vector.newBuilder[(String, String)]
     var n = 0
     var done = false
@@ -570,6 +580,52 @@ object Bpe {
     * an array with null elements, or out-of-vocabulary ids) → null. */
   def bpeDecode(ids: Column, table: BpeTable = Fixture): Column =
     column(BpeDecodeExpr(expression(ids.cast("array<int>")), table))
+
+  /** Column form: the pretoken stream (`array<string>`), symbol-mapped —
+    * byte-level pretokens arrive as [[ByteEnc]] symbol strings, exactly
+    * the unit the trainer and encoder operate on. Null text → null. */
+  def pretokens(text: Column, byteLevel: Boolean): Column =
+    column(BpePretokensExpr(expression(text.cast("string")), byteLevel))
+
+  /**
+   * DISTRIBUTED BPE TRAINING — corpus → merge table, closing the
+   * tokenizer loop (train here, then [[bpeEncode]] /
+   * [[pipeline.ops.CorpusRefine.writeSequenceShards]] consume the
+   * result; `BpeTable.render`/`loadMerges` round-trip it as a standard
+   * merges.txt).
+   *
+   * The industry-standard two-phase shape (how HF tokenizers /
+   * SentencePiece train at scale): phase 1 is data-sized and
+   * DISTRIBUTED — one explode + map-side-combined count produces the
+   * word-frequency table, the only pass over the corpus; phase 2 is
+   * vocabulary-sized and runs on the driver — [[learnFromCounts]] over
+   * the collected word-frequency map (BPE merge selection is inherently
+   * sequential: merge i+1's counts depend on merge i). `maxWords` bounds
+   * the driver set (top by frequency, ties by word — deterministic):
+   * the dropped long tail is single-occurrence noise that cannot win a
+   * pair-count argmax against the head at real corpus sizes, the same
+   * cap every production trainer applies.
+   *
+   * Deterministic end to end: counts are exact, the cap ordering is
+   * total, and merge ties break lexicographically ([[learnFromCounts]]).
+   */
+  def train(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+            numMerges: Int, byteLevel: Boolean = false,
+            maxWords: Int = 1 << 22): BpeTable = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val wordCounts = corpus
+      .select(explode(pretokens(col(textCol), byteLevel)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+    val freq = wordCounts.iterator
+      .map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1).toInt)
+      .toMap
+    new BpeTable(learnFromCounts(freq, numMerges), byteLevel)
+  }
 }
 
 /**
@@ -899,6 +955,34 @@ object BpeTable {
   * native-over-HOF rule: any per-row loop lives in an Expression). The
   * table is a constructor value — fixture by default, loaded merges.txt
   * on the config surface — and participates in case-class equality. */
+/** text → pretoken array (symbol-mapped: byte-level elements are ByteEnc
+  * symbol strings) — the trainer's word-count front-end. One tight
+  * per-row pass over the same scanners the counters inline. */
+case class BpePretokensExpr(child: Expression, byteLevel: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(input: Any): Any = {
+    val text = input.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    if (byteLevel) {
+      val it = Bpe.gpt2Pretokens(text)
+      while (it.hasNext) out += UTF8String.fromString(Bpe.toByteSymbols(it.next()))
+    } else {
+      val it = Bpe.PretokenRe.findAllIn(text)
+      while (it.hasNext) out += UTF8String.fromString(it.next())
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => NativeCodegen.callCompute(ctx, ev, this, dataType, c))
+  override protected def withNewChildInternal(c: Expression): BpePretokensExpr =
+    copy(child = c)
+}
+
 case class BpeCountExpr(child: Expression, table: BpeTable) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType

@@ -547,21 +547,27 @@ object Dedup {
   def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val ws = tokens(col(textCol))
     // positional k-gram hashes: window i (1-based) = tokens[i, i+k).
-    // size guard FIRST: sequence(1, n-k+1) DESCENDS when n < k (the
-    // shingles() precedent) — short docs must yield zero windows, not two
-    // broken ones
-    // gram key = full md5 (16 bytes of entropy): a 32-bit key would
-    // collide at corpus scale (600k windows already expect ~40 birthday
-    // pairs) and every collision is a false "duplicate"; md5 is portable
-    // (identical hex in the SQL oracle) and rides the shuffle at 32 chars
-    val gramHashes = when(col(textCol).isNotNull && size(ws) >= k,
-      transform(
-        sequence(lit(1), size(ws) - lit(k - 1)),
-        i => md5(concat_ws(" ",
-          (0 until k).map(j => get(ws, i + lit(j) - lit(1))): _*).cast("binary"))))
-      .otherwise(array().cast("array<string>"))
+    //  - the token array is BOUND once via a single-element transform —
+    //    referencing the raw split() expression from the window lambda
+    //    re-evaluates the O(|text|) split once per `get` (8·windows
+    //    times/doc ⇒ quadratic in doc length; measured 54 s at sf0.1 vs
+    //    ~1 s bound — the decode-once lesson, string edition);
+    //  - size guard FIRST: sequence(1, n-k+1) DESCENDS when n < k (the
+    //    shingles() precedent) — short docs yield zero windows;
+    //  - gram key = full md5 (16 bytes of entropy): a 32-bit key would
+    //    collide at corpus scale (600k windows already expect ~40
+    //    birthday pairs), every collision a false "duplicate"; md5 is
+    //    portable (identical hex in the SQL oracle).
+    val gramHashes = element_at(
+      transform(array(tokens(col(textCol))), ws =>
+        when(col(textCol).isNotNull && size(ws) >= k,
+          transform(
+            sequence(lit(1), size(ws) - lit(k - 1)),
+            i => md5(concat_ws(" ",
+              (0 until k).map(j => get(ws, i + lit(j) - lit(1))): _*).cast("binary"))))
+        .otherwise(array().cast("array<string>"))),
+      1)
     val grams = df
       .select(col(idCol).as("id"), gramHashes.as("gs"))
       .select(col("id"), explode(col("gs")).as("g"))

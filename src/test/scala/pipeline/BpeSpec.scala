@@ -543,4 +543,71 @@ class BpeSpec extends AnyFunSuite {
       .collect().head
     assert(nullRt.isNullAt(0))
   }
+
+  test("train: distributed word-count front-end == learnFromCounts on exact per-doc counts") {
+    val s = sc
+    import s.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps under the lazy tree",
+      "quick quick brown brown the the the fox",
+      "lowest lower lowest newest newer newest wide wider widest")
+    val df = docs.toDF("text").repartition(3)
+    for (byteLevel <- Seq(false, true)) {
+      // reference counts computed per doc in plain Scala (boundary-free:
+      // no concatenation, so gpt2 whitespace attachment can't differ)
+      val ref = docs.flatMap { d =>
+        if (byteLevel) pipeline.expr.Bpe.gpt2Pretokens(d)
+          .map(pipeline.expr.Bpe.toByteSymbols).toSeq
+        else pipeline.expr.Bpe.PretokenRe.findAllIn(d).toSeq
+      }.groupBy(w => w.map(_.toString).toVector)
+        .map { case (k, ws) => k -> ws.size }
+      val want = pipeline.expr.Bpe.learnFromCounts(ref, 25)
+      val table = pipeline.expr.Bpe.train(df, "text", 25, byteLevel)
+      assert(table.merges == want, s"byteLevel=$byteLevel")
+      assert(table.byteLevel == byteLevel)
+    }
+  }
+
+  test("train: learned table encodes losslessly, compresses, and round-trips merges.txt") {
+    val s = sc
+    import s.implicits._
+    val docs = Seq(
+      "low lower lowest low low lowest",
+      "new newer newest new new newest",
+      "wide wider widest wide wide widest")
+    val df = docs.toDF("text").repartition(2)
+    val table = pipeline.expr.Bpe.train(df, "text", 40, byteLevel = true)
+    assert(table.merges.nonEmpty)
+    // byte-level decode∘encode is the identity on the training corpus
+    val rt = df.select(col("text"),
+      pipeline.expr.Bpe.bpeDecode(
+        pipeline.expr.Bpe.bpeEncode(col("text"), table), table).as("back"))
+      .collect()
+    rt.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // the merges COMPRESS: fewer ids than base symbols on a repeated word
+    val nIds = df.select(org.apache.spark.sql.functions.size(
+      pipeline.expr.Bpe.bpeEncode(col("text"), table)).as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    val nSyms = docs.map(d => pipeline.expr.Bpe.gpt2Pretokens(d)
+      .map(pipeline.expr.Bpe.toByteSymbols(_).length).sum).sum
+    assert(nIds < nSyms, s"$nIds ids vs $nSyms base symbols")
+    // the trained table ships as a standard merges.txt and loads back
+    val p = java.nio.file.Files.createTempFile("trained", ".txt")
+    java.nio.file.Files.writeString(p,
+      pipeline.expr.Bpe.renderMerges(table.merges))
+    val loaded = pipeline.expr.Bpe.load(p.toString, byteLevel = true)
+    assert(loaded.merges == table.merges)
+    // maxWords cap: keeping only the top words is deterministic and
+    // equals learning from the capped count table
+    val all = df.select(explode(
+        pipeline.expr.Bpe.pretokens(col("text"), byteLevel = true)).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt)
+    val top3 = all.sortBy { case (w, c) => (-c, w) }.take(3)
+      .map { case (w, c) => w.map(_.toString).toVector -> c }.toMap
+    val capped = pipeline.expr.Bpe.train(df, "text", 10, byteLevel = true,
+      maxWords = 3)
+    assert(capped.merges == pipeline.expr.Bpe.learnFromCounts(top3, 10))
+  }
 }
