@@ -979,6 +979,42 @@ object Oracle {
         |FROM w JOIN dup USING (doc_id)
         |WHERE dup.n_dup_grams > 0""".stripMargin,
 
+    "q_dup_spans_apply" ->
+      // keeper = row_number 1 ordered by (doc_id, pos) == Spark's
+      // min(struct(id, pos)); covered = distinct token indices under
+      // non-keeper occurrences; rewritten docs rejoin kept tokens in
+      // position order, untouched docs keep byte-original text
+      """WITH w AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(list_transform(range(1, len(ws) - 6),
+        |      i -> array_to_string(ws[i:i+7], ' ')), 1) - 1 AS pos,
+        |    unnest(list_transform(range(1, len(ws) - 6),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS gram
+        |  FROM w WHERE text IS NOT NULL AND len(ws) >= 8),
+        |r AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY gram) AS occ,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM o) WHERE occ >= 2 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tpos FROM r),
+        |tk AS (
+        |  SELECT doc_id, unnest(ws) AS tok,
+        |    generate_subscripts(ws, 1) - 1 AS tpos
+        |  FROM w WHERE doc_id IN (SELECT doc_id FROM cov)),
+        |kept AS (
+        |  SELECT tk.doc_id, string_agg(tok, ' ' ORDER BY tpos) AS txt
+        |  FROM tk ANTI JOIN cov USING (doc_id, tpos) GROUP BY 1),
+        |nrem AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY 1)
+        |SELECT w.doc_id,
+        |  CASE WHEN nrem.n IS NOT NULL THEN COALESCE(kept.txt, '')
+        |       ELSE w.text END AS text,
+        |  CAST(COALESCE(nrem.n, 0) AS BIGINT) AS n_removed_tokens
+        |FROM w LEFT JOIN kept USING (doc_id) LEFT JOIN nrem USING (doc_id)""".stripMargin,
+
     "q_pack_sequences" ->
       // rebuild the identical global token stream: per-doc portable ids +
       // EOS(-1), exclusive prefix-sum offsets in doc_id order, ALIGNED

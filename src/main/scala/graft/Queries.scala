@@ -814,6 +814,15 @@ object Queries {
       .filter(col("n_dup_grams") > 0)
   }
 
+  /** Exact-substring REMOVAL (Lee et al. apply): one canonical occurrence
+    * of each duplicated 8-token window survives (min (doc_id, pos));
+    * non-canonical occurrences' tokens are cut and the doc keeps its
+    * remainder. Untouched docs keep byte-original text. */
+  def qDupSpansApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpanApply(t(s, dir, "documents")
+        .select("doc_id", "text"), "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("text"), col("n_removed_tokens"))
+
   /** Fixed-context sequence packing — the trainer input shape: per-token
     * portable ids (h32 of each ws token, EOS −1 between docs), documents
     * concatenated in doc_id order, chunked into rows of exactly 64 ids

@@ -76,6 +76,7 @@ object SparkEntry {
     "q_token_shards" -> (Queries.qTokenShards _),
     "q_pack_sequences" -> (Queries.qPackSequences _),
     "q_dup_spans" -> (Queries.qDupSpans _),
+    "q_dup_spans_apply" -> (Queries.qDupSpansApply _),
     "q_decontaminate" -> (Queries.qDecontaminate _),
     "q_multimodal" -> (Queries.qMultimodal _),
     "q_multimodal_image" -> (Queries.qMultimodalImage _),

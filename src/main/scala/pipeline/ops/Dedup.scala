@@ -559,17 +559,8 @@ object Dedup {
     //    collide at corpus scale (600k windows already expect ~40
     //    birthday pairs), every collision a false "duplicate"; md5 is
     //    portable (identical hex in the SQL oracle).
-    val gramHashes = element_at(
-      transform(array(tokens(col(textCol))), ws =>
-        when(col(textCol).isNotNull && size(ws) >= k,
-          transform(
-            sequence(lit(1), size(ws) - lit(k - 1)),
-            i => md5(concat_ws(" ",
-              (0 until k).map(j => get(ws, i + lit(j) - lit(1))): _*).cast("binary"))))
-        .otherwise(array().cast("array<string>"))),
-      1)
     val grams = df
-      .select(col(idCol).as("id"), gramHashes.as("gs"))
+      .select(col(idCol).as("id"), gramHashArray(col(textCol), k).as("gs"))
       .select(col("id"), explode(col("gs")).as("g"))
     // per-(doc, gram) occurrence counts — the map-side combine collapses
     // within-doc repeats before the shuffle
@@ -613,4 +604,90 @@ object Dedup {
       .select(col(idCol))
     df.join(bad, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Exact-substring REMOVAL — the actual rewrite from Lee et al. 2022
+   * §4.1 (ExactSubstr dedup): of all corpus occurrences of a duplicated
+   * k-token window, ONE canonical copy survives (the minimum (id, pos) —
+   * deterministic, engine-independent) and every token covered by a
+   * non-canonical occurrence is removed; the document keeps its
+   * non-duplicated remainder. Per-row contracts:
+   *
+   *  - docs with nothing to remove keep their ORIGINAL text byte-exact
+   *    (only rewritten docs are whitespace-normalized — the token rejoin
+   *    uses single spaces, the tokens() contract);
+   *  - short/null-text docs pass through untouched (never-vanish);
+   *  - overlapping windows: the surviving canonical copy's tokens can
+   *    still be removed when another duplicated window's non-canonical
+   *    occurrence covers them — the same byte-range-overlap behavior as
+   *    the paper's suffix-array cuts (documented, pinned in spec).
+   *
+   * Scale shape: the stats pass stays skinny (md5 keys only); the apply
+   * additionally pays the REWRITE cost — the kept tokens of rewritten
+   * docs ride one explode + one per-doc reassembly shuffle (unavoidable:
+   * the output is new text). Everything is hash-keyed; per-group memory
+   * is one document.
+   *
+   * Output: the input columns with `textCol` rewritten, plus
+   * `n_removed_tokens`.
+   */
+  def duplicateSpanApply(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gs = gramHashArray(col(textCol), k)
+    // (id, pos, g): positional window rows — pos is the 0-based first
+    // covered token index
+    val occs = df.select(col(idCol).as("id"), posexplode(gs).as(Seq("pos", "g")))
+    val wG = Window.partitionBy(col("g"))
+    val removable = occs
+      .withColumn("occ", count(lit(1)).over(wG))
+      .withColumn("keeper", min(struct(col("id"), col("pos"))).over(wG))
+      .filter(col("occ") >= 2 &&
+        !(col("keeper.id") === col("id") && col("keeper.pos") === col("pos")))
+    // covered token indices of non-canonical occurrences, per doc
+    val covered = removable
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(k - 1)))
+        .as("tpos"))
+      .distinct()
+    // rewrite ONLY docs that lost tokens: their kept tokens reassemble in
+    // position order; untouched docs never enter the token-scale path's
+    // output and keep their original text via the left join below
+    val toks = df
+      .join(covered.select(col("id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("tpos", "tok")))
+    val rebuilt = toks
+      .join(covered, Seq("id", "tpos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        s => s.getField("tok")), " ").as("_rewritten"))
+    val removedCounts = covered.groupBy(col("id"))
+      .agg(count(lit(1)).as("_n_removed"))
+    df.join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(removedCounts.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      // a doc with removals whose EVERY token was covered rewrites to the
+      // empty string (no rebuilt row exists for it) — falling back to the
+      // original text there would silently undo the removal
+      .withColumn(textCol,
+        when(col("_n_removed").isNotNull, coalesce(col("_rewritten"), lit("")))
+          .otherwise(col(textCol)))
+      .withColumn("n_removed_tokens", coalesce(col("_n_removed"), lit(0L)))
+      .drop("_rewritten", "_n_removed")
+  }
+
+  /** Positional k-gram md5 keys of `textCol` as an array (element j = the
+    * window starting at token j) — shared by [[duplicateSpanStats]] and
+    * [[duplicateSpanApply]]. See the stats scaladoc for the binding and
+    * key-width rationale. */
+  private[ops] def gramHashArray(text: Column, k: Int): Column =
+    element_at(
+      transform(array(tokens(text)), ws =>
+        when(text.isNotNull && size(ws) >= k,
+          transform(
+            sequence(lit(1), size(ws) - lit(k - 1)),
+            i => md5(concat_ws(" ",
+              (0 until k).map(j => get(ws, i + lit(j) - lit(1))): _*).cast("binary"))))
+        .otherwise(array().cast("array<string>"))),
+      1)
 }

@@ -288,6 +288,36 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 2L, 3L, 4L), s"kept $kept")
   }
 
+  test("duplicateSpanApply: canonical copy survives, others cut; edge cases pinned") {
+    val s = sc
+    import s.implicits._
+    val k = 8
+    val rows = Seq(
+      (1L, "A B C D E F G H x y"),                           // canonical (min id)
+      (2L, "p q A B C D E F G H r"),                         // loses the window
+      (3L, "q w e r t y u i o p unique3"),                   // untouched
+      (4L, ("a b c d e f g h " * 2).trim + " a b"),          // internal repeat
+      (5L, "A B C D E F G H"),                               // exactly one window, non-canonical → empty
+      (6L, "short doc"),
+      (7L, null.asInstanceOf[String]))
+    val d = rows.toDF("id", "text").repartition(3)
+    val got = Dedup.duplicateSpanApply(d, "id", "text", k)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getLong(2))).toMap
+    // canonical (1,0) survives; doc 2's occurrence at pos 2 cuts tokens 2..9
+    assert(got(1L) == ((Some("A B C D E F G H x y"), 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((Some("p q r"), 8L)), s"got ${got(2L)}")
+    // untouched docs keep BYTE-ORIGINAL text
+    assert(got(3L) == ((Some("q w e r t y u i o p unique3"), 0L)))
+    // internal period-8 repeat: occurrences (4,0)/(4,8) etc. — keeper is
+    // pos 0; removable (4,8),(4,9),(4,10) cover tokens 8..17
+    assert(got(4L) == ((Some("a b c d e f g h"), 10L)), s"got ${got(4L)}")
+    // every token covered → EMPTY text, not a silent revert
+    assert(got(5L) == ((Some(""), 8L)), s"got ${got(5L)}")
+    // windowless docs pass through untouched (never-vanish)
+    assert(got(6L) == ((Some("short doc"), 0L)) && got(7L) == ((None, 0L)))
+  }
+
   test("ngramJaccard scores exact duplicates at 1.0 and respects threshold") {
     val d = docs(1500)
     val j = Dedup.ngramJaccard(d, "id", "text", 3, 0.5)
