@@ -299,9 +299,59 @@ object TransformCompiler {
           withId.join(contaminated, Seq("_nid"), "left_anti").drop("_nid")
         }
 
+      case "dup_span_filter" =>
+        // exact-substring quality gate (Lee et al. family, the RefinedWeb
+        // shape): drop docs whose fraction of k-token windows occurring
+        // ≥2 times corpus-wide exceeds maxFrac. Bypass/null-text rows
+        // carry a null _nid and can never be dropped; short docs have
+        // zero windows and always pass (Dedup.duplicateSpanStats).
+        val fK = intOpt("k").getOrElse(8)
+        val maxFrac = opt("maxFrac")
+          .map(v => v.toDoubleOption.getOrElse(err(s"bad maxFrac '$v'")))
+          .getOrElse(err("needs 'maxFrac'"))
+        if (fK <= 0) err(s"k must be positive, got $fK")
+        if (maxFrac < 0.0 || maxFrac > 1.0)
+          err(s"maxFrac must be in [0,1], got $maxFrac")
+        df => {
+          val participates = !bypass(df) && col("text").isNotNull
+          val withId = df.withColumn("_nid",
+            when(participates, pipeline.ops.Dedup.nid128(col("url"),
+              col("warc_ts").cast("string"), col("source"), col("text"))))
+          val bad = pipeline.ops.Dedup.duplicateSpanStats(
+            withId.filter(col("_nid").isNotNull), "_nid", "text", fK)
+            .filter(col("dup_frac") > maxFrac)
+            .select(col("_nid"))
+          withId.join(bad, Seq("_nid"), "left_anti").drop("_nid")
+        }
+
+      case "dup_span_apply" =>
+        // exact-substring REMOVAL (Dedup.duplicateSpanApply): one
+        // canonical occurrence of each duplicated k-token window survives
+        // corpus-wide; other occurrences' tokens are cut and the doc
+        // keeps its remainder (whitespace-normalized only when rewritten;
+        // a fully-covered doc becomes empty text, never vanishes).
+        // Identical rows share one _nid: they rewrite identically and
+        // never cut against EACH OTHER (their occurrences share the
+        // keeper key) — chain dedup_exact first to thin exact copies,
+        // the dedup_near note.
+        val aK = intOpt("k").getOrElse(8)
+        if (aK <= 0) err(s"k must be positive, got $aK")
+        df => {
+          val participates = !bypass(df) && col("text").isNotNull
+          val withId = df.withColumn("_nid",
+            when(participates, pipeline.ops.Dedup.nid128(col("url"),
+              col("warc_ts").cast("string"), col("source"), col("text"))))
+          val rewritten = pipeline.ops.Dedup.duplicateSpanApply(
+            withId.filter(col("_nid").isNotNull), "_nid", "text", aK)
+            .drop("n_removed_tokens").drop("_nid")
+          rewritten.unionByName(
+            withId.filter(col("_nid").isNull).drop("_nid"))
+        }
+
       case other =>
         err(s"unknown transform kind '$other' (known: decontaminate, " +
-          "pii_redact, dedup_exact, dedup_near, lang_allowlist, " +
+          "dedup_exact, dedup_near, dup_span_apply, dup_span_filter, " +
+          "lang_allowlist, pii_redact, " +
           "quality_filter, repetition_filter, stratified_sample, " +
           "token_count, truncate)")
     }

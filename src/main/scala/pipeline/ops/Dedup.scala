@@ -659,8 +659,13 @@ object Dedup {
     val rebuilt = toks
       .join(covered, Seq("id", "tpos"), "left_anti")
       .groupBy(col("id"))
+      // collect_SET, not list: when the id is a row-content identity
+      // (the config transform keys on nid128), identical copies explode
+      // identical (tpos, tok) rows — a list would double every token of
+      // the rebuilt text; the set collapses them map-side for free and is
+      // identical to the list under unique ids (tpos is unique per doc)
       .agg(array_join(transform(
-        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        array_sort(collect_set(struct(col("tpos"), col("tok")))),
         s => s.getField("tok")), " ").as("_rewritten"))
     val removedCounts = covered.groupBy(col("id"))
       .agg(count(lit(1)).as("_n_removed"))

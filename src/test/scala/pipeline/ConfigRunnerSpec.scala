@@ -427,6 +427,49 @@ class ConfigRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("dup_span_filter / dup_span_apply transforms: gate and rewrite; never-vanish") {
+    val s = sc
+    import s.implicits._
+    val d = Seq(
+      ("u1", ("a b c d e f g h " * 3).trim),                  // fully periodic → frac 1.0
+      ("u2", "p q a b c d e f g h r"),                        // loses the shared window
+      ("u3", "oak elm birch maple cedar willow aspen spruce fir larch"),
+      ("u4", null.asInstanceOf[String]))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("source", lit("src"))
+    def one(kind: String, opts: Map[String, String]) =
+      pipeline.config.TransformCompiler.one(
+        pipeline.config.TransformSpec(kind, opts))
+    // FILTER: the periodic doc drops; null text never vanishes
+    val kept = one("dup_span_filter", Map("maxFrac" -> "0.5"))(d)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept == Set("u2", "u3", "u4"), s"got $kept")
+    // APPLY: u1's canonical copy survives its internal repeats; u2 loses
+    // the 8-token run it shares with u1 (u1 holds the keeper); untouched
+    // and null docs pass through byte-original
+    val applied = one("dup_span_apply", Map())(d)
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(applied("u1") == Some("a b c d e f g h"), s"got ${applied("u1")}")
+    assert(applied("u2") == Some("p q r"), s"got ${applied("u2")}")
+    assert(applied("u3") == Some("oak elm birch maple cedar willow aspen spruce fir larch"))
+    assert(applied("u4").isEmpty)
+    // identical copies share one nid: rewritten identically, never cut
+    // against each other, and both survive
+    val twins = d.unionByName(d.filter(col("url") === "u2"))
+    val twinOut = one("dup_span_apply", Map())(twins)
+      .filter(col("url") === "u2").select("text")
+      .collect().map(_.getString(0)).toSeq
+    assert(twinOut == Seq("p q r", "p q r"), s"got $twinOut")
+    // config-shaped failures
+    intercept[IllegalArgumentException] { one("dup_span_filter", Map())(d) }
+    intercept[IllegalArgumentException] {
+      one("dup_span_filter", Map("maxFrac" -> "1.5"))(d) }
+    intercept[IllegalArgumentException] {
+      one("dup_span_apply", Map("k" -> "0"))(d) }
+  }
+
   test("dedup_near transform: minhash→components→apply chain == programmatic") {
     val s = sc
     import s.implicits._
