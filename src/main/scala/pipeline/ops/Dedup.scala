@@ -405,7 +405,11 @@ object Dedup {
     // drill as a round-~10 heap OOM (8 GiB driver). A checkpoint is dead
     // as soon as the frame that superseded it is materialized (lineage is
     // truncated, nothing re-reads it): propagated dies when next lands,
-    // and the previous round's next dies with it.
+    // and the previous round's next dies with it. Release must happen at
+    // the RDD level ([[releaseCheckpoint]]): `Dataset.unpersist()` on a
+    // localCheckpointed frame is a storage NO-OP (it uncaches by plan in
+    // the CacheManager, where a checkpoint is never registered —
+    // measured: blocks survive, getPersistentRDDs unchanged).
     var prevRound: DataFrame = labels
     while (!converged && iter < maxIter) {
       // (1) candidate label for dst = min over CHANGED neighbors' comps
@@ -441,8 +445,8 @@ object Dedup {
       labels = next.select("node", "comp")
       frontier = next.filter(col("chg")).select("node", "comp")
       converged = frontier.isEmpty // a job over next's blocks — BEFORE release
-      propagated.unpersist()
-      prevRound.unpersist()
+      releaseCheckpoint(propagated)
+      releaseCheckpoint(prevRound)
       prevRound = next
       iter += 1
       // observation hook (bench/drill instrumentation): called once per
@@ -452,9 +456,23 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
     // the returned labels reference only the LAST round's blocks; the edge
     // checkpoint is session-lifetime garbage otherwise
-    edges.unpersist()
+    releaseCheckpoint(edges)
     labels
   }
+
+  /**
+   * Actually release a localCheckpointed frame's storage. A released
+   * frame must NEVER be read again: its lineage is truncated, so a read
+   * fails loudly with "checkpoint block not found" (pinned in OpsSpec) —
+   * the loop above releases only frames whose last reader has already
+   * materialized. `Dataset.unpersist()` does NOT do this job: it
+   * uncaches by logical plan through the CacheManager, where a
+   * checkpoint is never registered, leaving every block in place.
+   */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /**
    * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,

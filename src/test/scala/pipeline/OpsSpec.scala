@@ -85,9 +85,18 @@ class OpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
     // a long path converges too (worst case for label propagation)
     val path = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
-    val pc = pipeline.ops.Dedup.connectedComponents(path)
-      .collect().map(r => r.getLong(1)).distinct
+    val before = s.sparkContext.getPersistentRDDs.size
+    val cc = pipeline.ops.Dedup.connectedComponents(path)
+    val pc = cc.collect().map(r => r.getLong(1)).distinct
     assert(pc.toSeq == Seq(0L))
+    // checkpoint-release contract: a 30-hop path runs ≥5 rounds, each
+    // materializing two frames; only the FINAL label map may survive the
+    // loop (Dataset.unpersist is a storage no-op on checkpoints — the
+    // release must reach the underlying RDD, the 10M-drill OOM lesson)
+    Thread.sleep(500) // async unpersist drains
+    val after = s.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"checkpoint leak: $before persisted RDDs before, $after after")
   }
 
   test("exact dedup finds the seeded duplicate fraction") {
