@@ -307,6 +307,27 @@ object DedupBench {
       time("lang_id_native")(cdocs
         .select(pipeline.ops.TextAnalysis.langId(col("text")).as("l"))
         .filter(col("l") =!= "und").count())
+      // fixed-context sequence packing (the GPT packed-batch layout):
+      // encode + EOS-joined global stream + 2048-id rows — the id arrays
+      // ride the prefix-sum carry and one seq-keyed reassembly shuffle
+      time("pack_sequences")(CorpusRefine.packSequences(
+        cdocs.withColumn("seq", monotonically_increasing_id())
+          .select(col("seq"), pipeline.expr.Bpe.bpeEncode(col("text"),
+            pipeline.expr.Bpe.FixtureByteLevel).as("ids")),
+        "seq", "ids", seqLen = 2048, buckets = 256, equalize = true).count())
+      // exact-substring family, k=8: stats = the skinny md5 inverted
+      // index; apply adds the canonical-keeper rewrite path
+      time("dup_span_stats")(pipeline.ops.Dedup
+        .duplicateSpanStats(cdocs, "id", "text", 8)
+        .filter(col("n_dup_grams") > 0).count())
+      time("dup_span_apply")(pipeline.ops.Dedup
+        .duplicateSpanApply(cdocs, "id", "text", 8)
+        .filter(col("n_removed_tokens") > 0).count())
+      // distributed BPE training: ONE data-sized pass (pretoken explode +
+      // map-side-combined word count) + the driver merge loop — the
+      // word-soup fixture's vocabulary is tiny, so this prices phase 1
+      time("bpe_train")(pipeline.expr.Bpe
+        .train(cdocs, "text", 2000, byteLevel = true).merges.size.toLong)
       spark.stop()
       return
     }

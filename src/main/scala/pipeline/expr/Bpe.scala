@@ -146,45 +146,109 @@ object Bpe {
     * byte-level words arrive already mapped through [[ByteEnc]]). */
   def learnFromCounts(words0: Map[Vector[String], Int],
                       numMerges: Int): Vector[(String, String)] = {
-    var words = words0
-    val merges = Vector.newBuilder[(String, String)]
+    // INDEXED INCREMENTAL form (the HF-tokenizers shape). The naive loop -
+    // recount every pair over every word, scan for the argmax, rebuild
+    // every word, once PER MERGE - is O(merges x total word length): fine
+    // for the embedded fixture corpus, hours for a 1M-entry word table
+    // (measured: the 1M-doc drill sat single-threaded 25+ min before
+    // this). Here each merge touches only the words that CONTAIN the
+    // merged pair: their old adjacent pairs are decremented, the word is
+    // rebuilt, its new pairs incremented, and an ordered set keyed by
+    // (-count, left, right) keeps the argmax O(log P). The selection rule
+    // is bit-identical to the naive form (max count, ties to the
+    // lexicographically smallest pair; stop when no pair occurs twice) -
+    // pinned in BpeSpec against an in-spec naive reimplementation.
+    import scala.collection.mutable
+    type Pair = (String, String)
+    val entries = words0.toArray
+    val syms = entries.map { case (v, _) => mutable.ArrayBuffer.from(v) }
+    val freq = entries.map(_._2.toLong)
+    val pairCount = mutable.HashMap.empty[Pair, Long]
+    // pair -> indices of words that (possibly stale - cleaned lazily on
+    // the next touch, and tolerating occasional duplicates - both are
+    // skipped by the has-occurrence check at merge time) contained it
+    // when last rebuilt. A compact growable int buffer, NOT a BitSet:
+    // BitSet is dense (bits up to the max word index, per pair), and at
+    // ~1M words x millions of pairs that is a heap bomb - measured OOM
+    // at the 1M-doc drill's first attempt.
+    val pairWords = mutable.HashMap.empty[Pair, mutable.ArrayBuffer[Int]]
+    val byCountThenPair: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // count DESC
+          if (c != 0) c
+          else {
+            val l = a._2.compareTo(b._2)
+            if (l != 0) l else a._3.compareTo(b._3)
+          }
+        }
+      }
+    val order = mutable.TreeSet.empty[(Long, String, String)](byCountThenPair)
+    def bump(p: Pair, delta: Long, w: Int): Unit = {
+      val old = pairCount.getOrElse(p, 0L)
+      if (old > 0) order.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw > 0) {
+        pairCount(p) = nw
+        order.add((nw, p._1, p._2))
+      } else {
+        pairCount.remove(p)
+        pairWords.remove(p)
+      }
+      if (delta > 0 && w >= 0 && nw > 0) {
+        val buf = pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int])
+        // consecutive-duplicate guard: one word bumps the same pair once
+        // per occurrence within a single scan
+        if (buf.isEmpty || buf(buf.length - 1) != w) buf += w
+      }
+    }
+    var w = 0
+    while (w < syms.length) {
+      val s = syms(w)
+      var i = 0
+      while (i < s.length - 1) { bump((s(i), s(i + 1)), freq(w), w); i += 1 }
+      w += 1
+    }
+    val merges = Vector.newBuilder[Pair]
     var n = 0
     var done = false
     while (n < numMerges && !done) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Int]
-      words.foreach { case (syms, freq) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          pairCounts.update(p, pairCounts.getOrElse(p, 0) + freq)
-          i += 1
-        }
-      }
-      val best = pairCounts.filter(_._2 >= 2)
-      if (best.isEmpty) done = true
+      if (order.isEmpty || order.head._1 < 2) done = true
       else {
-        // max by count, then lexicographically smallest pair — total order
-        val (pair, _) = best.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        val h = order.head
+        val pair = (h._2, h._3)
         merges += pair
         val joined = pair._1 + pair._2
-        words = words.map { case (syms, freq) =>
+        val affected = pairWords.get(pair).map(_.toArray).getOrElse(Array.empty[Int])
+        affected.foreach { wi =>
+          val s = syms(wi)
+          // stale-membership check: the word may have been rebuilt since
+          // it registered for this pair
           var has = false
           var i = 0
-          while (!has && i < syms.length - 1) {
-            has = syms(i) == pair._1 && syms(i + 1) == pair._2; i += 1
+          while (!has && i < s.length - 1) {
+            has = s(i) == pair._1 && s(i + 1) == pair._2; i += 1
           }
-          if (!has) syms -> freq // untouched words keep their vector
-          else {
-            val out = Vector.newBuilder[String]
+          if (has) {
+            val f = freq(wi)
             i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+            while (i < s.length - 1) { bump((s(i), s(i + 1)), -f, -1); i += 1 }
+            // leftmost non-overlapping rebuild - the naive replace rule
+            val out = mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == pair._1 && s(i + 1) == pair._2) {
                 out += joined; i += 2
-              } else { out += syms(i); i += 1 }
+              } else { out += s(i); i += 1 }
             }
-            out.result() -> freq
+            syms(wi) = out
+            i = 0
+            while (i < out.length - 1) { bump((out(i), out(i + 1)), f, wi); i += 1 }
           }
-        }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+        // the merged pair itself must be fully gone after the rebuilds
+        pairCount.remove(pair).foreach(c => order.remove((c, pair._1, pair._2)))
+        pairWords.remove(pair)
         n += 1
       }
     }

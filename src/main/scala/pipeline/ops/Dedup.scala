@@ -580,23 +580,22 @@ object Dedup {
     val grams = df
       .select(col(idCol).as("id"), gramHashArray(col(textCol), k).as("gs"))
       .select(col("id"), explode(col("gs")).as("g"))
-    // per-(doc, gram) occurrence counts — the map-side combine collapses
-    // within-doc repeats before the shuffle
-    val perDoc = grams.groupBy(col("id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    // corpus-wide occurrence per gram as a PARTITIONED window over the
-    // same frame — one linear chain, so the token-scale explode runs
-    // exactly once (plan-guarded). The perDoc-groupBy-g + semi-join-back
-    // alternative reads perDoc from two branches, and exchange reuse does
-    // NOT fire across them (measured: 2× the explode+md5 — the minhashLsh
-    // barrier lesson); the window costs the same one (g)-keyed shuffle
-    // the occurrence aggregate would, without the second compute.
-    val dupPerDoc = perDoc
+    // corpus-wide occurrence per gram as a PARTITIONED window DIRECTLY
+    // over the occurrence rows — one linear chain, so the token-scale
+    // explode runs exactly once (plan-guarded). Two rejected shapes, both
+    // measured at the 1M-doc drill: per-(doc,gram) groupBy feeding an occ
+    // aggregate via a second branch (exchange reuse does NOT fire across
+    // branches — 2× the explode+md5, the minhashLsh barrier lesson), and
+    // groupBy(id,g) + window + regroup (the intermediate aggregate barely
+    // shrinks word-soup occurrences and added a full extra exchange: 102 s
+    // vs the 25 s this occurrence-window shape costs in duplicateSpanApply
+    // on the same data).
+    val dupPerDoc = grams
       .withColumn("occ",
-        sum(col("c")).over(Window.partitionBy(col("g"))))
+        count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("occ") >= 2)
       .groupBy(col("id"))
-      .agg(sum(col("c")).as("n_dup_grams"))
+      .agg(count(lit(1)).as("n_dup_grams"))
     df.select(col(idCol).as("id"),
         coalesce(
           when(col(textCol).isNotNull,
@@ -709,8 +708,14 @@ object Dedup {
         when(text.isNotNull && size(ws) >= k,
           transform(
             sequence(lit(1), size(ws) - lit(k - 1)),
-            i => md5(concat_ws(" ",
-              (0 until k).map(j => get(ws, i + lit(j) - lit(1))): _*).cast("binary"))))
-        .otherwise(array().cast("array<string>"))),
+            // unhex(md5): 16 BYTES on the wire instead of 32 hex chars —
+            // the gram key is the dominant shuffle payload of the whole
+            // family (one per token), so the binary form halves it; the
+            // oracle never sees the key (it counts gram strings), only
+            // the counts must match
+            i => unhex(md5(concat_ws(" ",
+              (0 until k).map(j => get(ws, i + lit(j) - lit(1))): _*)
+              .cast("binary")))))
+        .otherwise(array().cast("array<binary>"))),
       1)
 }

@@ -544,6 +544,69 @@ class BpeSpec extends AnyFunSuite {
     assert(nullRt.isNullAt(0))
   }
 
+  test("learnFromCounts: incremental indexed loop == naive recount reference") {
+    // the naive form: full pair recount + argmax scan + full rebuild per
+    // merge — quadratic, but unarguably correct; the production loop must
+    // match it merge-for-merge, including tie-breaks and early stop
+    def naive(words0: Map[Vector[String], Int], numMerges: Int): Vector[(String, String)] = {
+      var words = words0
+      val out = Vector.newBuilder[(String, String)]
+      var n = 0
+      var done = false
+      while (n < numMerges && !done) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Int]
+        words.foreach { case (s, f) =>
+          (0 until s.length - 1).foreach(i => pc.update((s(i), s(i + 1)),
+            pc.getOrElse((s(i), s(i + 1)), 0) + f))
+        }
+        val best = pc.filter(_._2 >= 2)
+        if (best.isEmpty) done = true
+        else {
+          val (pair, _) = best.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += pair
+          words = words.map { case (s, f) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == pair._1 && s(i + 1) == pair._2) {
+                b += pair._1 + pair._2; i += 2
+              } else { b += s(i); i += 1 }
+            }
+            b.result() -> f
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+          n += 1
+        }
+      }
+      out.result()
+    }
+    def counts(corpus: String): Map[Vector[String], Int] =
+      pipeline.expr.Bpe.PretokenRe.findAllIn(corpus).toSeq
+        .groupBy(w => w.map(_.toString).toVector)
+        .map { case (k, ws) => k -> ws.size }
+    // overlapping-run, tie, and early-stop shapes + the embedded corpus
+    val cases = Seq(
+      "aaa aaa bbb aaa",                         // overlapping same-symbol runs
+      "ab ab ba ba cd cd",                       // exact count ties → lexicographic
+      "xyz",                                     // nothing occurs twice → 0 merges
+      "low lower lowest newest newer wide wider widest " * 3,
+      pipeline.expr.Bpe.TrainingCorpus.take(4000))
+    cases.foreach { c =>
+      val w = counts(c)
+      for (m <- Seq(1, 5, 50))
+        assert(pipeline.expr.Bpe.learnFromCounts(w, m) == naive(w, m),
+          s"divergence on '${c.take(40)}...' at $m merges")
+    }
+    // deterministic pseudo-random word tables (seeded — no RNG in prod code)
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val w = (1 to 60).map { _ =>
+        Vector.fill(rnd.nextInt(6) + 1)(('a' + rnd.nextInt(4)).toChar.toString) ->
+          (rnd.nextInt(5) + 1)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      assert(pipeline.expr.Bpe.learnFromCounts(w, 30) == naive(w, 30))
+    }
+  }
+
   test("train: distributed word-count front-end == learnFromCounts on exact per-doc counts") {
     val s = sc
     import s.implicits._
