@@ -814,6 +814,18 @@ object Queries {
       .filter(col("n_dup_grams") > 0)
   }
 
+  /** Stupid-backoff n-gram LM (CCNet quality-scoring family): train a
+    * 3-gram model on the corpus itself (minCount 2), score every doc,
+    * emit the INTEGER detail (per-level match counts + matched num/den
+    * sums) — the join/backoff logic is the oracle surface; the IEEE
+    * perplexity step is spec-pinned instead (NgramLm class doc). */
+  def qNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = pipeline.ops.NgramLm.train(docs, "text", 3, minCount = 2L)
+    pipeline.ops.NgramLm.scoreDetail(docs, "doc_id", "text", model, 3)
+      .drop("sum_log_q6")
+  }
+
   /** Exact-substring REMOVAL (Lee et al. apply): one canonical occurrence
     * of each duplicated 8-token window survives (min (doc_id, pos));
     * non-canonical occurrences' tokens are cut and the doc keeps its
