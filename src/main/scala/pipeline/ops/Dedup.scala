@@ -342,51 +342,83 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                           maxIter: Int = 25,
                           onRound: Int => Unit = _ => ()): DataFrame = {
-    // Adaptive planning is DISABLED for the iteration (restored after):
-    // measured at the 1M-node drill (DedupBench --mode cc, BASELINE.md
-    // round 6), AQE made the closure 4–5× slower — its runtime stats see
-    // the ≲25 MB label map and flip the per-round shuffle joins into
-    // driver-built broadcasts (a single-threaded 1M-row HashedRelation
-    // build, twice per round: 305–410 s wall, CPU ~80% idle), and its
-    // per-stage coordination adds a driver round-trip to every one of the
-    // ~3 jobs × rounds. Neither can help here: label rows are fixed-width
-    // ids (no skew, nothing to coalesce), and at the target scale the
-    // label map is never broadcastable anyway — the shuffle join IS the
-    // scale-correct plan. With both off the per-round cost drops to the
-    // scheduling floor (73 s → 13.7k nodes/s at 1M nodes / 32 cores).
-    // Session-scoped confs, so concurrent queries on this session during
-    // the loop see them too — acceptable for a batch backfill operator.
     val sess = pairs.sparkSession
-    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val prevBc = sess.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try connectedComponentsLoop(pairs, aCol, bCol, maxIter, onRound)
-    finally {
-      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-    }
-  }
-
-  private def connectedComponentsLoop(pairs: DataFrame, aCol: String, bCol: String,
-                                      maxIter: Int,
-                                      onRound: Int => Unit): DataFrame = {
-    // symmetric closure in ONE pass over `pairs`: the union-of-two-selects
-    // form evaluates the (often expensive — LSH + exact-verify) pair
-    // pipeline once per branch; exploding both directions from a single
-    // scan halves the upstream work
-    // pre-partitioned by src ONCE: localCheckpoint preserves the output
-    // partitioning, so the per-iteration edges⋈frontier join re-shuffles
-    // only the (shrinking) frontier — never the full edge set again. At
-    // corpus scale that is the difference between shuffling |E| once and
-    // shuffling it every round.
-    val edges = pairs.select(explode(array(
+    // ---- phase 1 (SESSION confs, AQE untouched): the one-shot pair
+    // pipeline + symmetric-closure distinct. The upstream (often LSH +
+    // exact-verify) is a normal one-pass query where adaptive planning
+    // helps; only the LOOP below needs it off. Symmetric closure in ONE
+    // pass over `pairs`: exploding both directions from a single scan
+    // halves the upstream work vs the union-of-two-selects form.
+    val edges0 = pairs.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .repartition(col("src"))
       .localCheckpoint()
+    // one cheap job over the cached blocks — the input-size measurement
+    // the loop's partitioning derives from (guide §2.2: partitions sized
+    // from data, not a constant tuned for either local mode or a cluster)
+    val edgeCount = edges0.count()
+
+    // Scale-adaptive loop partitioning: every per-round frame (labels,
+    // frontier, propagated) is O(|V|) ≤ O(|E|) rows of fixed-width ids,
+    // so ceil(|E| / rowsPerPartition) partitions keeps partitions in the
+    // tens-of-MB range. Clamped at the session default so a cluster-sized
+    // setting is never raised by this heuristic — at the target scale the
+    // clamp binds and behavior is identical to before. Below the clamp a
+    // TOY graph (the common "canonicalize this near-dup batch" case) no
+    // longer pays `default × stages × rounds` empty-task scheduling: at
+    // sf0.1 (≈3k edges) the loop ran 14 rounds × ~5 exchanges × 32 tasks
+    // of ~0 rows each — measured 30–60 s of pure scheduling floor, ~4 s
+    // with partitions derived from size (OPTIMIZATION_r07.md).
+    val defaultPartitions =
+      sess.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val rowsPerPartition =
+      sess.conf.get("spark.graft.cc.rowsPerPartition", "2000000").toLong
+    val loopPartitions = math.max(1L, math.min(defaultPartitions.toLong,
+      (edgeCount + rowsPerPartition - 1) / rowsPerPartition)).toInt
+
+    // ---- phase 2 (LOOP confs, restored after): adaptive planning is
+    // DISABLED for the iteration — measured at the 1M-node drill
+    // (DedupBench --mode cc, BASELINE.md round 6), AQE made the closure
+    // 4–5× slower: its runtime stats see the ≲25 MB label map and flip
+    // the per-round shuffle joins into driver-built broadcasts (a
+    // single-threaded 1M-row HashedRelation build, twice per round:
+    // 305–410 s wall, CPU ~80% idle), and its per-stage coordination adds
+    // a driver round-trip to every one of the ~3 jobs × rounds. Neither
+    // can help here: label rows are fixed-width ids (no skew, nothing to
+    // coalesce), and at the target scale the label map is never
+    // broadcastable anyway — the shuffle join IS the scale-correct plan.
+    // Session-scoped confs, so concurrent queries on this session during
+    // the loop see them too — acceptable for a batch backfill operator.
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = sess.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions", "200")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
+    try connectedComponentsLoop(edges0, loopPartitions, maxIter, onRound)
+    finally {
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
+  private def connectedComponentsLoop(edges0: DataFrame, loopPartitions: Int,
+                                      maxIter: Int,
+                                      onRound: Int => Unit): DataFrame = {
+    // pre-partitioned by src ONCE, at the loop's partition count:
+    // localCheckpoint preserves the output partitioning, so the
+    // per-iteration edges⋈frontier join re-shuffles only the (shrinking)
+    // frontier — never the full edge set again. At corpus scale that is
+    // the difference between shuffling |E| once and shuffling it every
+    // round. (The explicit numPartitions matches every loop shuffle, so
+    // co-partitioning is recognised round after round.)
+    val edges = edges0
+      .repartition(loopPartitions, col("src"))
+      .localCheckpoint()
+    releaseCheckpoint(edges0)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()

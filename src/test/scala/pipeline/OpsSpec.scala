@@ -99,6 +99,30 @@ class OpsSpec extends AnyFunSuite {
       s"checkpoint leak: $before persisted RDDs before, $after after")
   }
 
+  test("connected components: adaptive loop partitioning restores session " +
+    "confs and is label-identical across partition settings") {
+    val s = sc
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (3L, 2L), (5L, 6L), (9L, 5L)).toDF("a", "b")
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    def run() = pipeline.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 5L)
+    // tiny graph → the loop derives 1 partition; a forced rows-per-partition
+    // of 1 → the defaultParallelism clamp binds. Same labels either way,
+    // and the session confs come back untouched.
+    for (rpp <- Seq("2000000", "1")) {
+      s.conf.set("spark.graft.cc.rowsPerPartition", rpp)
+      val before = keys.map(k => k -> s.conf.getOption(k)).toMap
+      assert(run() == expected, s"labels diverged at rowsPerPartition=$rpp")
+      val afterC = keys.map(k => k -> s.conf.getOption(k)).toMap
+      assert(afterC == before, s"session confs not restored: $afterC")
+    }
+    s.conf.unset("spark.graft.cc.rowsPerPartition")
+  }
+
   test("exact dedup finds the seeded duplicate fraction") {
     val d = docs(4000)
     val dups = Dedup.exact(d, "id", "text").filter(col("n_copies") > 1)
