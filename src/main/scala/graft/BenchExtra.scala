@@ -47,20 +47,26 @@ object BenchExtra {
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // untimed plan dump, executed FIRST so AQE's final plan (with
+      // runtime stage reuse and coalescing) is what lands in the file —
+      // the pre-run adaptive plan hides both (guide §7.2)
       plansDir.foreach { d =>
+        spark.sparkContext.setJobDescription(s"$name plan dump")
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.foreachPartition(_ => ())
         Files.createDirectories(Paths.get(d))
         Files.write(Paths.get(d, s"$name.txt"),
-          fn(spark, sfDir).queryExecution.explainString(
+          df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
             .getBytes("UTF-8"))
       }
       val samples = (1 to reps).map { i =>
         spark.sparkContext.setJobDescription(s"$name run $i/$reps")
+        val df = fn(spark, sfDir)
         val t0 = System.nanoTime()
         action match {
-          case "noop" => fn(spark, sfDir).write.format("noop")
-            .mode("overwrite").save()
-          case _ => fn(spark, sfDir).count()
+          case "noop" => df.write.format("noop").mode("overwrite").save()
+          case _ => df.count()
         }
         (System.nanoTime() - t0) / 1e9
       }

@@ -158,14 +158,22 @@ object CorpusRefine {
 
   /** Fixed-size word-window "paragraphs": k-word chunks, space-joined (the
     * fixture corpus is single-line, so newline paragraphs degenerate; the
-    * operator itself only needs SOME deterministic segmentation). */
-  def wordChunks(words: Column, k: Int): Column = {
-    val nPar = floor((size(words) + lit(k - 1)) / lit(k)).cast("int")
-    when(size(words) >= 1,
-      transform(sequence(lit(0), greatest(nPar - 1, lit(0))),
-        i => array_join(slice(words, i * k + 1, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * operator itself only needs SOME deterministic segmentation).
+    * The words array is BOUND once via a single-element transform (the
+    * gramHashArray pattern): referencing the raw `split()` expression from
+    * the chunk lambda would re-tokenize the whole text once per chunk —
+    * ⌈n/k⌉ times per doc, quadratic in doc length (the dup-spans
+    * token-bind lesson, measured 17× there). */
+  def wordChunks(words: Column, k: Int): Column =
+    element_at(
+      transform(array(words), ws => {
+        val nPar = floor((size(ws) + lit(k - 1)) / lit(k)).cast("int")
+        when(size(ws) >= 1,
+          transform(sequence(lit(0), greatest(nPar - 1, lit(0))),
+            i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }),
+      1)
 
   /**
    * Corpus-wide paragraph dedup: a paragraph survives only at its FIRST
@@ -380,14 +388,24 @@ object CorpusRefine {
    */
   private def exclusiveCumSum(df: DataFrame, idCol: String, tokenCol: String,
                               buckets: Int, equalize: Boolean,
-                              carryCols: Seq[String]): DataFrame = {
+                              carryCols: Seq[String],
+                              nullGuard: Option[(String, String)] = None): DataFrame = {
     require(buckets > 0, s"bad buckets=$buckets")
-    val mm = df.agg(min(col(idCol)).cast("long").as("lo"),
+    // nullGuard (column, message): callers that must reject null payload
+    // rows (packSequences) ride the validation on THIS one-row aggregate
+    // instead of a separate filter+count job — that job was a full extra
+    // pass evaluating the (possibly expensive — tokenize/BPE-encode)
+    // payload expression over the whole corpus
+    val aggs = Seq(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi"),
-      count(lit(1)).as("n_rows"), count(col(idCol)).as("n_ids")).head()
+      count(lit(1)).as("n_rows"), count(col(idCol)).as("n_ids")) ++
+      nullGuard.map { case (c, _) =>
+        count(when(col(c).isNull, lit(1))).as("n_null") }
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
     if (mm.isNullAt(0) && mm.getLong(2) == 0) // empty input: shape-stable empty result
       return df.select((Seq(idCol, tokenCol) ++ carryCols).map(col) :+
         lit(0L).as("_cum_excl"): _*).limit(0)
+    nullGuard.foreach { case (_, msg) => require(mm.getLong(4) == 0, msg) }
     // null ids would vanish silently: min/max ignore them, their bucket is
     // null, and the inner offsets join drops them — reject up front (same
     // config-shaped contract as the id-span check below). Rides the one
@@ -483,13 +501,12 @@ object CorpusRefine {
     val asLongs = col(idsCol).cast("array<long>")
     val withEos = docs.select(col(idCol),
       (if (appendEos) concat(asLongs, array(lit(eosId))) else asLongs).as("_ids"))
-    val nNull = withEos.filter(col("_ids").isNull).limit(1).count()
-    require(nNull == 0,
-      s"packSequences: null $idsCol array(s) — a row without an id array " +
-        "has no position in the token stream; encode or filter first")
     val off = exclusiveCumSum(
       withEos.withColumn("_n", size(col("_ids")).cast("long")),
-      idCol, "_n", buckets, equalize, carryCols = Seq("_ids"))
+      idCol, "_n", buckets, equalize, carryCols = Seq("_ids"),
+      nullGuard = Some(("_ids",
+        s"packSequences: null $idsCol array(s) — a row without an id array " +
+          "has no position in the token stream; encode or filter first")))
     // piece k covers global positions [max(off, k·L), min(off+n, (k+1)·L))
     val pieces = off.filter(col("_n") > 0) // sequence(a,b) descends if b<a
       .select(explode(transform(
