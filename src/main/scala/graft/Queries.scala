@@ -355,14 +355,22 @@ object Queries {
       col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
 
   def qQuality(s: SparkSession, dir: String): DataFrame = {
-    val f = TextAnalysis.qualityFeatures(col("text"))
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      f.getField("n_tokens").as("n_tokens"),
-      f.getField("n_punct").as("n_punct"),
-      f.getField("n_stopwords").as("n_stopwords"),
-      f.getField("punct_ratio").as("punct_ratio"),
-      f.getField("stopword_ratio").as("stopword_ratio"))
+    // STAGED projection: the features struct is aliased once and its five
+    // fields extracted in a separate select — five direct getField
+    // references would evaluate the struct (and its tokenization) five
+    // times per row (lambda-bearing exprs are outside codegen
+    // subexpression elimination; CollapseProject keeps a non-cheap alias
+    // referenced more than once in its own Project)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.qualityFeatures(col("text")).as("_f"))
+      .select(
+        col("doc_id"),
+        col("_f.n_tokens").as("n_tokens"),
+        col("_f.n_punct").as("n_punct"),
+        col("_f.n_stopwords").as("n_stopwords"),
+        col("_f.punct_ratio").as("punct_ratio"),
+        col("_f.stopword_ratio").as("stopword_ratio"))
   }
 
   /** Composite quality score (stopword presence ∘ sane token length ∘ low
@@ -654,12 +662,17 @@ object Queries {
     val keepers = Dedup.exact(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
     val f = TextAnalysis.qualityFeatures(col("text"))
+    // the quality gate is ONE bound predicate (Portable.bind1): a filter
+    // on two aliased feature columns gets predicate-pushed with the alias
+    // INLINED per reference — two full feature evaluations per row (plan-
+    // verified r7); bound, the struct evaluates once in the filter and
+    // once in the surviving-rows projection
     docs.join(keepers, Seq("doc_id"), "left_semi")
       .filter(col("lang").isin("en", "de", "fr"))
-      .withColumn("n_tokens", f.getField("n_tokens"))
-      .withColumn("stopword_ratio", f.getField("stopword_ratio"))
-      .filter(col("n_tokens") >= 10 && col("stopword_ratio") > 0)
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .filter(Portable.bind1(f)(q =>
+        q.getField("n_tokens") >= 10 && q.getField("stopword_ratio") > 0))
+      .select(col("doc_id"), col("lang"),
+        f.getField("n_tokens").as("n_tokens"))
   }
 
   // ---------- corpus refinement (PII / URL / repetition / sampling) ----------
@@ -744,12 +757,17 @@ object Queries {
     val urlKeep = CorpusRefine.urlDedup(
       docs.select(col("doc_id"), urlLine.as("url")), "doc_id", "url")
       .select(col("keep_id").as("doc_id"))
+    // repetition gate as ONE bound predicate (Portable.bind1): the alias
+    // form was predicate-pushed below the semi join with `_st` inlined
+    // THREE times (isNotNull + two field refs) — three native-expr
+    // evaluations per scanned row (plan-verified r7); bound, it is one
     val base = docs.join(urlKeep, Seq("doc_id"), "left_semi")
       .filter(col("lang").isin("en", "de", "fr"))
+      .filter(Portable.bind1(
+        pipeline.expr.PortableExprs.repetitionStats(col("text")))(st =>
+        st.isNotNull && st.getField("top_bigram_n").cast("double") /
+          st.getField("n_bigrams").cast("double") < 0.5))
       .withColumn("_st", pipeline.expr.PortableExprs.repetitionStats(col("text")))
-      .filter(col("_st").isNotNull &&
-        col("_st.top_bigram_n").cast("double") /
-          col("_st.n_bigrams").cast("double") < 0.5)
     CorpusRefine.stratifiedSample(base, "doc_id", "lang",
       Map("en" -> 50, "de" -> 30), defaultRate = 10)
       .select(col("doc_id"), col("lang"), col("_st.n_words").as("n_words"))

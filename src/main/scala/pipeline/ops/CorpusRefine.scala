@@ -300,12 +300,16 @@ object CorpusRefine {
     val dfKept =
       if (maxDocFreq == Long.MaxValue) dfAgg
       else dfAgg.filter(col("df") <= maxDocFreq)
-    // participating docs = DISTINCT ids with ≥1 nonempty token — identical
-    // to "distinct ids in pairs" (countDistinct, so duplicate id rows —
-    // which the pairs groupBy merges — count once) without re-exploding:
-    // the cost is one tokenize scan + a doc-count-sized distinct exchange
-    val n = docs.agg(countDistinct(when(
-      size(filter(tokens(col(textCol)), t => t =!= "")) > 0, col(idCol)))
+    // participating docs = DISTINCT ids in `pairs` (a doc contributes a
+    // pair row iff it has ≥1 nonempty token). Counting them FROM the
+    // barrier exchange makes this the third ReusedExchange consumer —
+    // zero extra corpus passes (the previous form re-tokenized the whole
+    // corpus in a separate narrow scan). The tf/term references are
+    // semantically vacuous (tf ≥ 1 by construction, term never null) and
+    // exist so ColumnPruning cannot specialize this consumer's copy of
+    // the barrier exchange — the dfAgg precedent above.
+    val n = pairs.agg(countDistinct(when(
+      col("tf") >= 1 && col("term").isNotNull, col(idCol)))
       .as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)

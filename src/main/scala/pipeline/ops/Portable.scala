@@ -32,6 +32,17 @@ object Portable {
     * on trimmed input. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Evaluate `c` exactly ONCE per row and hand the value to `f` as a
+    * bound lambda variable (single-element transform + element_at — the
+    * gramHashArray/wordChunks pattern, extracted). Why this exists: every
+    * Column REFERENCE is a copy of its whole expression tree, lambda-
+    * bearing expressions are excluded from codegen subexpression
+    * elimination, and predicate pushdown inlines aliases into filters —
+    * so a non-cheap expression referenced k times costs k evaluations
+    * per row unless bound. Values are unchanged, only evaluation count. */
+  def bind1(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Word n-gram shingles (distinct), space-joined; empty array when fewer
     * than n tokens. Narrow — no explode needed by callers that aggregate
     * per-row. */

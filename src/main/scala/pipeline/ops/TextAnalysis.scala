@@ -110,35 +110,40 @@ object TextAnalysis {
     pipeline.expr.Bpe.bpeCount(textCol, table)
 
   /** Quality features: lengths, token stats, punctuation + stopword ratios.
-    * Ratios are int/int double divisions — bit-deterministic. */
-  def qualityFeatures(textCol: Column): Column = {
-    val toks = tokenArr(textCol)
-    val nTok = size(toks).cast("long")
-    val nChar = length(textCol).cast("long")
-    val nPunct = length(regexp_replace(textCol, "[A-Za-z0-9\\s\\u0080-\\uFFFF]", "")).cast("long")
-    val nStop = markerHits(toks, Seq("the", "a", "of", "and"))
-    val meanTokLen = when(nTok > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok.cast("double"))
-      .otherwise(lit(0.0))
-    struct(
-      nChar.as("n_chars"),
-      nTok.as("n_tokens"),
-      nPunct.as("n_punct"),
-      nStop.as("n_stopwords"),
-      meanTokLen.as("mean_token_len"),
-      when(nChar > 0, nPunct.cast("double") / nChar.cast("double")).otherwise(lit(0.0)).as("punct_ratio"),
-      when(nTok > 0, nStop.cast("double") / nTok.cast("double")).otherwise(lit(0.0)).as("stopword_ratio"))
-  }
+    * Ratios are int/int double divisions — bit-deterministic. The token
+    * array is BOUND once (Portable.bind1): the struct's fields reference
+    * it ~6 times, and each raw reference would re-split the text (lambda-
+    * bearing exprs sit outside codegen subexpression elimination). */
+  def qualityFeatures(textCol: Column): Column =
+    bind1(tokenArr(textCol)) { toks =>
+      val nTok = size(toks).cast("long")
+      val nChar = length(textCol).cast("long")
+      val nPunct = length(regexp_replace(textCol, "[A-Za-z0-9\\s\\u0080-\\uFFFF]", "")).cast("long")
+      val nStop = markerHits(toks, Seq("the", "a", "of", "and"))
+      val meanTokLen = when(nTok > 0,
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok.cast("double"))
+        .otherwise(lit(0.0))
+      struct(
+        nChar.as("n_chars"),
+        nTok.as("n_tokens"),
+        nPunct.as("n_punct"),
+        nStop.as("n_stopwords"),
+        meanTokLen.as("mean_token_len"),
+        when(nChar > 0, nPunct.cast("double") / nChar.cast("double")).otherwise(lit(0.0)).as("punct_ratio"),
+        when(nTok > 0, nStop.cast("double") / nTok.cast("double")).otherwise(lit(0.0)).as("stopword_ratio"))
+    }
 
   /** Composite quality score in [0,1]: stopword presence, sane token
-    * length, low punctuation. Deterministic double arithmetic. */
-  def qualityScore(textCol: Column): Column = {
-    val f = qualityFeatures(textCol)
-    val stopOk = least(f.getField("stopword_ratio") * lit(5.0), lit(1.0))
-    val lenOk = when(f.getField("mean_token_len").between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
-    val punctOk = lit(1.0) - least(f.getField("punct_ratio") * lit(4.0), lit(1.0))
-    (stopOk + lenOk + punctOk) / lit(3.0)
-  }
+    * length, low punctuation. Deterministic double arithmetic. The
+    * features struct is BOUND once — three field references would
+    * otherwise evaluate it (and its tokenization) three times per row. */
+  def qualityScore(textCol: Column): Column =
+    bind1(qualityFeatures(textCol)) { f =>
+      val stopOk = least(f.getField("stopword_ratio") * lit(5.0), lit(1.0))
+      val lenOk = when(f.getField("mean_token_len").between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+      val punctOk = lit(1.0) - least(f.getField("punct_ratio") * lit(4.0), lit(1.0))
+      (stopOk + lenOk + punctOk) / lit(3.0)
+    }
 
   /** Rolling word-level fingerprint: fold (acc·31 + h32(word)) mod P.
     * Order-sensitive (unlike MinHash) — detects exact reorderings. */
