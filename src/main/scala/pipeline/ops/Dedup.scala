@@ -431,53 +431,58 @@ object Dedup {
     var frontier = labels
     var converged = false
     var iter = 0
-    // superseded-checkpoint lifecycle: every round materializes two frames
-    // (propagated + next); without explicit release the block manager
-    // accumulates rounds × 2 full label maps — measured at the 10M-node
-    // drill as a round-~10 heap OOM (8 GiB driver). A checkpoint is dead
-    // as soon as the frame that superseded it is materialized (lineage is
-    // truncated, nothing re-reads it): propagated dies when next lands,
-    // and the previous round's next dies with it. Release must happen at
-    // the RDD level ([[releaseCheckpoint]]): `Dataset.unpersist()` on a
+    // superseded-checkpoint lifecycle: each round materializes ONE frame
+    // (next); without explicit release the block manager accumulates
+    // rounds × full label maps — measured at the 10M-node drill as a
+    // round-~10 heap OOM (8 GiB driver). A checkpoint is dead as soon as
+    // the frame that superseded it is materialized (lineage is truncated,
+    // nothing re-reads it): the previous round's next dies when this
+    // round's lands. Release must happen at the RDD level
+    // ([[releaseCheckpoint]]): `Dataset.unpersist()` on a
     // localCheckpointed frame is a storage NO-OP (it uncaches by plan in
     // the CacheManager, where a checkpoint is never registered —
     // measured: blocks survive, getPersistentRDDs unchanged).
     var prevRound: DataFrame = labels
     while (!converged && iter < maxIter) {
-      // (1) candidate label for dst = min over CHANGED neighbors' comps
+      // ONE materialization per round (r7; the r6 shape checkpointed an
+      // intermediate `propagated` frame too — 2 jobs + 2 full label-map
+      // materializations per round): because the pointer jump reads the
+      // ALREADY-CHECKPOINTED labels on both sides, jump and propagation
+      // compose into a single plan with every input read from cache.
+      // (1) pointer jumping: comp := comp(comp) — halves the remaining
+      //     path length every round, so a diameter-D chain converges in
+      //     O(log D) rounds instead of O(D). The jump reads the FULL
+      //     current map (not the frontier): a change at v must reach
+      //     every node whose pointer lands on v, frontier member or not.
+      val jumped = labels
+        .join(labels.select(col("node").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("node"), col("comp").as("old"),
+          coalesce(col("comp2"), col("comp")).as("jc"))
+      // (2) candidate label for dst = min over CHANGED neighbors' comps.
+      //     Propagation uses the round-START labels (not the jumped ones)
+      //     — both are sound lowerings of the same monotone system (every
+      //     change still reaches neighbors next round via the frontier
+      //     and pointer-followers via the full-map jump), and the
+      //     fixpoint — component-constant at the component min — is
+      //     unchanged, so the result is label-identical; only the round
+      //     count can shift by ~1.
       val viaNeighbors = edges
         .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("comp")).as("ncomp"))
-      // materialized ONCE per round: the pointer jump below reads this
-      // frame on BOTH join sides, and as a bare plan each side would
-      // recompute the whole edges⋈frontier⋈labels propagation — measured
-      // at the 1M-node CC drill as ~2× the round cost (the r6 fix; the
-      // per-round wall dropped accordingly, BASELINE.md "CC drill")
-      val propagated = labels.join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      // (2) pointer jumping: comp := comp(comp) — halves the remaining path
-      // length every iteration, so a diameter-D chain converges in
-      // O(log D) rounds instead of O(D). The jump reads the FULL current
-      // map (not the frontier): a change at v must reach every node whose
-      // pointer lands on v, frontier member or not.
       // (3) convergence rides the SAME materialization: `chg` is a column
-      // of the checkpointed frame, so the old separate join+count job
-      // collapses to a trivial scan of already-materialized partitions.
-      val next = propagated
-        .join(propagated.select(col("node").as("comp"), col("comp").as("comp2")),
-          Seq("comp"), "left")
+      //     of the checkpointed frame, so the converged check is a
+      //     trivial scan of already-materialized partitions.
+      val next = jumped.join(viaNeighbors, Seq("node"), "left")
         .select(col("node"), col("old"),
-          coalesce(col("comp2"), col("comp")).as("comp"))
+          least(col("jc"), coalesce(col("ncomp"), col("jc"))).as("comp"))
         .withColumn("chg", col("comp") =!= col("old"))
         .select("node", "comp", "chg")
         .localCheckpoint()
       labels = next.select("node", "comp")
       frontier = next.filter(col("chg")).select("node", "comp")
       converged = frontier.isEmpty // a job over next's blocks — BEFORE release
-      releaseCheckpoint(propagated)
       releaseCheckpoint(prevRound)
       prevRound = next
       iter += 1
