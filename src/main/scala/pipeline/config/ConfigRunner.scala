@@ -278,12 +278,20 @@ object ConfigRunner {
     // whatever shape the shipper lands (a streaming file source needs an
     // explicit schema; inferring once at start is the standard tap shape)
     val schema = spark.read.parquet(landing).schema
-    // image-mode dedup fingerprints the binary payload; text mode (and the
-    // plain chain) needs the text column
-    val needCol =
-      if (spec.streamDedupNear.exists(_.mode == "image")) "html" else "text"
-    require(schema.fieldNames.contains("warc_ts") && schema.fieldNames.contains(needCol),
-      s"--stream landing docs need warc_ts + $needCol columns; found: ${schema.fieldNames.mkString(", ")}")
+    // image-mode dedup fingerprints the binary payload (and keys verdicts
+    // by url); text mode (and the plain chain) needs the text column.
+    // Transforms additionally reference text/url/lang via the bypass
+    // marker — require them here so a mis-shaped landing zone fails with
+    // a config-shaped error, not an unresolved-column AnalysisException
+    // at stream start.
+    val imageMode = spec.streamDedupNear.exists(_.mode == "image")
+    val need = (Seq("warc_ts") ++
+      (if (imageMode) Seq("html", "url") else Seq("text")) ++
+      (if (spec.transforms.nonEmpty) Seq("text", "url", "lang") else Nil)).distinct
+    val missing = need.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"--stream landing docs need columns ${need.mkString(", ")} " +
+        s"(missing: ${missing.mkString(", ")}); found: ${schema.fieldNames.mkString(", ")}")
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", conf.getOrElse("--max-files-per-trigger", "4").toInt)
       .parquet(landing)

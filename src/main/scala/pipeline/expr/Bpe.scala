@@ -136,7 +136,7 @@ object Bpe {
     learnFromCounts(
       pretokens
         .groupBy(w => w.map(_.toString).toVector)
-        .map { case (syms, ws) => syms -> ws.size },
+        .map { case (syms, ws) => syms -> ws.size.toLong },
       numMerges)
   }
 
@@ -144,7 +144,7 @@ object Bpe {
     * core of [[learn]] (in-memory corpus) and [[train]] (distributed
     * word counting). Word keys are SYMBOL vectors (single chars initially;
     * byte-level words arrive already mapped through [[ByteEnc]]). */
-  def learnFromCounts(words0: Map[Vector[String], Int],
+  def learnFromCounts(words0: Map[Vector[String], Long],
                       numMerges: Int): Vector[(String, String)] = {
     // INDEXED INCREMENTAL form (the HF-tokenizers shape). The naive loop -
     // recount every pair over every word, scan for the argmax, rebuild
@@ -162,7 +162,7 @@ object Bpe {
     type Pair = (String, String)
     val entries = words0.toArray
     val syms = entries.map { case (v, _) => mutable.ArrayBuffer.from(v) }
-    val freq = entries.map(_._2.toLong)
+    val freq = entries.map(_._2)
     val pairCount = mutable.HashMap.empty[Pair, Long]
     // pair -> indices of words that (possibly stale - cleaned lazily on
     // the next touch, and tolerating occasional duplicates - both are
@@ -686,7 +686,9 @@ object Bpe {
       .limit(maxWords)
       .collect()
     val freq = wordCounts.iterator
-      .map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1).toInt)
+      // Long counts end to end: a stopword past 2^31 occurrences (real at
+      // corpus scale) must not wrap negative and corrupt merge selection
+      .map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1))
       .toMap
     new BpeTable(learnFromCounts(freq, numMerges), byteLevel)
   }

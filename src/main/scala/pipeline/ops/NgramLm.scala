@@ -204,27 +204,28 @@ object NgramLm {
   /**
    * CCNet head/middle/tail bucketing: per-language perplexity terciles
    * (Wenzek et al. §4.3 — lower perplexity = more fluent = "head").
-   * Thresholds via approxQuantile per language (driver holds 2 doubles
-   * per language); deterministic given the detail frame.
+   * Thresholds from ONE `percentile_approx` pass under `groupBy(lang)`
+   * plus a broadcast join of the (≤ #langs)-row cuts frame — the r6
+   * shape drove one sequential `approxQuantile` JOB per language from a
+   * driver loop (100+ jobs at CCNet's language count), and crashed on a
+   * null language value (the empty-filter quantile returned an empty
+   * array). Null-language docs now form their own quantile group and
+   * bucket among themselves; the join key is null-safe (`<=>`).
+   * Deterministic given the detail frame.
    */
   def pplBuckets(detail: DataFrame, langCol: String): DataFrame = {
     val withPpl = perplexity(detail).filter(col("ppl").isNotNull)
-    val langs = withPpl.select(col(langCol)).distinct()
-      .collect().map(_.getString(0))
-    val cuts = langs.map { l =>
-      val q = withPpl.filter(col(langCol) === l)
-        .stat.approxQuantile("ppl", Array(1.0 / 3, 2.0 / 3), 0.001)
-      l -> (q(0), q(1))
-    }.toMap
-    val loExpr = cuts.foldRight(lit(Double.MaxValue)) { case ((l, (lo, _)), acc) =>
-      when(col(langCol) === l, lit(lo)).otherwise(acc)
-    }
-    val hiExpr = cuts.foldRight(lit(Double.MaxValue)) { case ((l, (_, hi)), acc) =>
-      when(col(langCol) === l, lit(hi)).otherwise(acc)
-    }
-    withPpl.withColumn("bucket",
-      when(col("ppl") <= loExpr, lit("head"))
-        .when(col("ppl") <= hiExpr, lit("middle"))
-        .otherwise(lit("tail")))
+    val cuts = withPpl.groupBy(col(langCol))
+      .agg(percentile_approx(col("ppl"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("_cuts"))
+      .select(col(langCol).as("_lang"),
+        col("_cuts").getItem(0).as("_lo"),
+        col("_cuts").getItem(1).as("_hi"))
+    withPpl.join(broadcast(cuts), col(langCol) <=> col("_lang"), "left")
+      .withColumn("bucket",
+        when(col("ppl") <= col("_lo"), lit("head"))
+          .when(col("ppl") <= col("_hi"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_lang", "_lo", "_hi")
   }
 }

@@ -548,16 +548,16 @@ class BpeSpec extends AnyFunSuite {
     // the naive form: full pair recount + argmax scan + full rebuild per
     // merge — quadratic, but unarguably correct; the production loop must
     // match it merge-for-merge, including tie-breaks and early stop
-    def naive(words0: Map[Vector[String], Int], numMerges: Int): Vector[(String, String)] = {
+    def naive(words0: Map[Vector[String], Long], numMerges: Int): Vector[(String, String)] = {
       var words = words0
       val out = Vector.newBuilder[(String, String)]
       var n = 0
       var done = false
       while (n < numMerges && !done) {
-        val pc = scala.collection.mutable.HashMap.empty[(String, String), Int]
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
         words.foreach { case (s, f) =>
           (0 until s.length - 1).foreach(i => pc.update((s(i), s(i + 1)),
-            pc.getOrElse((s(i), s(i + 1)), 0) + f))
+            pc.getOrElse((s(i), s(i + 1)), 0L) + f))
         }
         val best = pc.filter(_._2 >= 2)
         if (best.isEmpty) done = true
@@ -579,10 +579,10 @@ class BpeSpec extends AnyFunSuite {
       }
       out.result()
     }
-    def counts(corpus: String): Map[Vector[String], Int] =
+    def counts(corpus: String): Map[Vector[String], Long] =
       pipeline.expr.Bpe.PretokenRe.findAllIn(corpus).toSeq
         .groupBy(w => w.map(_.toString).toVector)
-        .map { case (k, ws) => k -> ws.size }
+        .map { case (k, ws) => k -> ws.size.toLong }
     // overlapping-run, tie, and early-stop shapes + the embedded corpus
     val cases = Seq(
       "aaa aaa bbb aaa",                         // overlapping same-symbol runs
@@ -601,7 +601,7 @@ class BpeSpec extends AnyFunSuite {
     (1 to 5).foreach { _ =>
       val w = (1 to 60).map { _ =>
         Vector.fill(rnd.nextInt(6) + 1)(('a' + rnd.nextInt(4)).toChar.toString) ->
-          (rnd.nextInt(5) + 1)
+          (rnd.nextInt(5) + 1).toLong
       }.groupMapReduce(_._1)(_._2)(_ + _)
       assert(pipeline.expr.Bpe.learnFromCounts(w, 30) == naive(w, 30))
     }
@@ -624,7 +624,7 @@ class BpeSpec extends AnyFunSuite {
           .map(pipeline.expr.Bpe.toByteSymbols).toSeq
         else pipeline.expr.Bpe.PretokenRe.findAllIn(d).toSeq
       }.groupBy(w => w.map(_.toString).toVector)
-        .map { case (k, ws) => k -> ws.size }
+        .map { case (k, ws) => k -> ws.size.toLong }
       val want = pipeline.expr.Bpe.learnFromCounts(ref, 25)
       val table = pipeline.expr.Bpe.train(df, "text", 25, byteLevel)
       assert(table.merges == want, s"byteLevel=$byteLevel")
@@ -666,7 +666,7 @@ class BpeSpec extends AnyFunSuite {
     val all = df.select(explode(
         pipeline.expr.Bpe.pretokens(col("text"), byteLevel = true)).as("w"))
       .groupBy("w").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1).toInt)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
     val top3 = all.sortBy { case (w, c) => (-c, w) }.take(3)
       .map { case (w, c) => w.map(_.toString).toVector -> c }.toMap
     val capped = pipeline.expr.Bpe.train(df, "text", 10, byteLevel = true,

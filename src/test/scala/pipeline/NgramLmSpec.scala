@@ -158,5 +158,16 @@ class NgramLmSpec extends AnyFunSuite {
         byBucket((l, "middle"))._2 < byBucket((l, "tail"))._2,
         s"bucket ordering for $l: $byBucket")
     }
+    // null-language docs must not crash the quantile pass (the r6 shape
+    // drove one approxQuantile job per collected lang value and threw on
+    // null); they tercile among themselves like any other group
+    val withNull = docs.unionByName(
+      Seq((100L, "one two one two zzz", null.asInstanceOf[String]))
+        .toDF("doc_id", "text", "lang"))
+    val detailN = NgramLm.scoreDetail(withNull, "doc_id", "text", model, 2)
+      .join(withNull.select("doc_id", "lang"), Seq("doc_id"))
+    val bn = NgramLm.pplBuckets(detailN, "lang")
+    assert(bn.filter(col("lang").isNull).count() == 1)
+    assert(bn.filter(col("lang").isNull && col("bucket").isNull).count() == 0)
   }
 }
