@@ -223,8 +223,13 @@ object Multiline {
    * ConfigRunner.fromSource): joins line-per-event docs back into
    * record-per-event docs IN the doc shape, so the rest of the chain
    * (grok, parse, route) is untouched. Stream identity = `url` (the
-   * shipper's file/unit key), line order = `warc_ts` (ties broken by
-   * (lang, text) — deterministic). The joined record keeps its FIRST
+   * shipper's file/unit key), line order = `warc_ts` with HEADER-FIRST
+   * tie-break (then (lang, text) — deterministic): a same-instant
+   * header's continuations follow it instead of gluing to the previous
+   * record. When several same-instant headers share a url the frames
+   * attach to the (lex-)last of them — inherently ambiguous without a
+   * line sequence; use [[joinLines]] when an offset exists.
+   * The joined record keeps its FIRST
    * line's event time and lang; html stays null (line protocols carry no
    * binary). Rows that cannot join — null url or null warc_ts (the
    * undecodable-line deadletter path) — BYPASS unchanged rather than
@@ -237,14 +242,30 @@ object Multiline {
   def joinDocs(docs: DataFrame,
                continuation: Column => Column = javaContinuation): DataFrame = {
     val can = col("url").isNotNull && col("warc_ts").isNotNull
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("url").orderBy("warc_ts", "lang", "text")
     val joined = docs.filter(can)
       .withColumn("_hdr", !continuation(col("text")))
-      .withColumn("_rec", sum(when(col("_hdr"), 1L).otherwise(0L)).over(w))
+      // Order: event time, then HEADER-FIRST among same-instant lines,
+      // then (lang, text). Same-instant batches are the flagship case
+      // (a throwable's frames log in one instant with a coarse shipper
+      // ts); the raw (lang, text) tiebreak sorted '\t'-indented frames
+      // BEFORE their header, gluing them to the previous record. With
+      // header-first, a same-instant header opens its record and its
+      // frames follow. (Multiple same-instant headers in one url remain
+      // ambiguous — inherent: the doc shape carries no line sequence;
+      // joinLines is the exact form when an offset exists.) The frame is
+      // ROWS, not the default RANGE: RANGE counts all PEERS of the
+      // current row, so exact-duplicate header lines saw each other's
+      // count, merged into one record, and silently lost a record.
+      .withColumn("_rec", sum(when(col("_hdr"), 1L).otherwise(0L)).over {
+        import org.apache.spark.sql.expressions.Window
+        Window.partitionBy("url")
+          .orderBy(col("warc_ts"), col("_hdr").desc, col("lang"), col("text"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      })
       .groupBy(col("url"), col("_rec"))
       .agg(array_sort(collect_list(
-        struct(col("warc_ts"), col("lang"), col("text")))).as("_ls"))
+        struct(col("warc_ts"), (!col("_hdr")).as("_cont"), col("lang"),
+          col("text")))).as("_ls"))
       .select(col("url"),
         element_at(col("_ls"), 1).getField("warc_ts").as("warc_ts"),
         lit(null).cast("binary").as("html"),

@@ -250,6 +250,37 @@ class GrokSpec extends AnyFunSuite {
       caused.getString(1) == "read timed out")
   }
 
+  test("joinDocs: same-instant frames follow their header; duplicate " +
+    "headers stay two records") {
+    val s = sc
+    import s.implicits._
+    val before = java.sql.Timestamp.valueOf("2026-01-02 03:04:04")
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 03:04:05")
+    val later = java.sql.Timestamp.valueOf("2026-01-02 03:04:06")
+    // one url: an earlier event, then a throwable whose frames share the
+    // HEADER's timestamp (coarse shipper ts — the flagship case). The
+    // raw (lang, text) tiebreak sorted '\t'-indented frames BEFORE the
+    // header, gluing them to the PREVIOUS record.
+    val docs = Seq(
+      ("u1", before, "zz earlier event", "en"),
+      ("u1", ts, "com.app.Err: boom", "en"),
+      ("u1", ts, "\tat com.app.A.f(A.java:1)", "en"),
+      ("u1", ts, "\tat com.app.B.g(B.java:2)", "en"),
+      // exact-duplicate headers at a later instant: a RANGE frame made
+      // them running-count PEERS and merged them into one record
+      ("u1", later, "com.app.Other: dup", "en"),
+      ("u1", later, "com.app.Other: dup", "en"))
+      .toDF("url", "warc_ts", "text", "lang")
+      .withColumn("html", lit(null).cast("binary"))
+    val got = pipeline.stages.Multiline.joinDocs(docs)
+      .collect().map(_.getAs[String]("text")).sorted
+    assert(got.toSeq == Seq(
+      "com.app.Err: boom\n\tat com.app.A.f(A.java:1)\n\tat com.app.B.g(B.java:2)",
+      "com.app.Other: dup",
+      "com.app.Other: dup",
+      "zz earlier event"), got.mkString("|"))
+  }
+
   test("SQL surface graft_grok == Column API; config grok wiring") {
     val s = sc
     import s.implicits._
