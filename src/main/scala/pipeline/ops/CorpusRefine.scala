@@ -442,20 +442,40 @@ object CorpusRefine {
       }
     } else {
       val width = ((span + buckets - 1) / buckets).toLong.max(1L)
+      // coalesce makes _b provably NON-NULL (vacuous at runtime: null ids
+      // were rejected by the eager require above). Without it the
+      // offsets join's inferred isnotnull(_b) lands at the WINDOW side's
+      // scan only, the two barrier-exchange copies stop being canonically
+      // equal, and stage reuse silently dies (plan-verified r7).
       df.withColumn("_d", col(idCol).cast("long") - lit(lo))
-        .withColumn("_b", expr(s"_d div ${width}L"))
+        .withColumn("_b", coalesce(expr(s"_d div ${width}L"), lit(0L)))
         .drop("_d")
     }
+    // ONE payload exchange shared by the local window and the offsets
+    // aggregate (r7): `keyed` is explicitly repartitioned by bucket, the
+    // window rides that partitioning without its own exchange, and the
+    // offsets aggregate reads the SAME exchange via runtime stage reuse.
+    // Without the barrier the offsets branch re-evaluated the whole
+    // payload expression tree in a second scan — for emitTokenShards
+    // that is a second full BPE-encode pass over the corpus.
+    val keyed = bucketed.repartition(col("_b"))
     val localW = Window.partitionBy(col("_b")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = bucketed
+    val local = keyed
       .withColumn("_cum_local", sum(col(tokenCol)).over(localW))
+    // zero-valued reference to every non-aggregated column (id + carries):
+    // pmod(hash(c), 1) is 0 on every row (hash never returns null) and is
+    // not constant-folded, so ColumnPruning cannot specialize the offsets
+    // copy of the barrier exchange — stage reuse needs both copies
+    // canonically identical (the tfidf/paragraphDedup precedent).
+    val reuseGuard = (idCol +: carryCols)
+      .map(c => pmod(hash(col(c)), lit(1)).cast("long")).reduce(_ + _)
     // cumulative total of all PRIOR buckets: tiny frame (#buckets rows),
     // its own unpartitioned window is over bucket ids, not documents
     val offW = Window.orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val offsets = bucketed.groupBy(col("_b"))
-      .agg(sum(col(tokenCol)).as("_btot"))
+    val offsets = keyed.groupBy(col("_b"))
+      .agg(sum(col(tokenCol) + reuseGuard).as("_btot"))
       .withColumn("_off", coalesce(sum(col("_btot")).over(offW), lit(0L)))
       .select(col("_b"), col("_off"))
     local.join(broadcast(offsets), "_b")
